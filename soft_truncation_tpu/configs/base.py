@@ -1,0 +1,146 @@
+"""Config schema + per-dataset defaults.
+
+Same surface as the reference's ml_collections schema
+(configs/default_*_configs.py) so experiment knobs carry over verbatim —
+minus ``config.device`` (device placement is the train step's jit/sharding
+concern, not config state) and plus a few TPU-rebuild extensions
+(``config.tpu.*``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import ml_collections
+
+
+def _cfg(d: Mapping[str, Any]) -> ml_collections.ConfigDict:
+  c = ml_collections.ConfigDict()
+  for k, v in d.items():
+    setattr(c, k, v)
+  return c
+
+
+# Values identical to the reference defaults (configs/default_cifar10_configs
+# .py:5-100 and siblings); organized as data instead of imperative setattrs.
+_CIFAR10 = dict(
+    training=dict(
+        batch_size=128, n_iters=13000001, snapshot_freq=100000, log_freq=100,
+        eval_freq=100, snapshot_freq_for_preemption=10000,
+        snapshot_sampling=False, likelihood_weighting=True, continuous=True,
+        reduce_mean=False, importance_sampling=True,
+        unbounded_parametrization=False, ddpm_score=True, st=False,
+        truncation_time=1e-5, num_train_data=50000,
+        reconstruction_loss=False, stabilizing_constant=1e-3,
+        whatever_sampling=False, mixed=False, ddpm_weight=0.01,
+        balanced=False),
+    sampling=dict(
+        n_steps_each=1, noise_removal=True, probability_flow=False,
+        snr=0.16, batch_size=1024, truncation_time=1e-5, sample_more=True),
+    eval=dict(
+        begin_ckpt=9, end_ckpt=26, batch_size=200, enable_sampling=False,
+        num_samples=50000, enable_loss=True, enable_bpd=False,
+        bpd_dataset="test", num_test_data=10000, residual=True, lambda_=0.0,
+        probability_flow=True, nelbo_iter=0, nll_iter=0),
+    data=dict(
+        dataset="CIFAR10", image_size=32, random_flip=True, centered=False,
+        dequantization="none", num_channels=3),
+    model=dict(
+        sigma_min=0.01, sigma_max=50, num_scales=1000, beta_min=0.1,
+        beta_max=20.0, dropout=0.1, embedding_type="fourier",
+        auxiliary_resblock=True, attention=True, fourier_feature=False,
+        lsgm=False),
+    optim=dict(
+        weight_decay=0.0, optimizer="Adam", lr=2e-4, beta1=0.9, eps=1e-8,
+        warmup=5000, grad_clip=1.0, num_micro_batch=1, amsgrad=False),
+)
+
+
+def _derive(base: Dict[str, Dict[str, Any]],
+            changes: Dict[str, Dict[str, Any]],
+            drop: Dict[str, list] | None = None) -> Dict[str, Dict[str, Any]]:
+  out = {sec: dict(vals) for sec, vals in base.items()}
+  for sec, vals in changes.items():
+    out.setdefault(sec, {}).update(vals)
+  for sec, keys in (drop or {}).items():
+    for k in keys:
+      out[sec].pop(k, None)
+  return out
+
+
+# configs/default_celeba_configs.py
+_CELEBA = _derive(_CIFAR10, dict(
+    training=dict(n_iters=1300001, snapshot_freq=50000, log_freq=50,
+                  snapshot_sampling=True, likelihood_weighting=False,
+                  num_train_data=162770),
+    sampling=dict(snr=0.17, batch_size=512),
+    eval=dict(begin_ckpt=1, batch_size=1024, num_test_data=19962),
+    data=dict(dataset="CELEBA", image_size=64),
+    model=dict(sigma_max=90.0),
+))
+
+# configs/default_lsun_configs.py
+_LSUN = _derive(_CIFAR10, dict(
+    training=dict(batch_size=64, n_iters=24000001, snapshot_freq=200000,
+                  log_freq=1000, eval_freq=500,
+                  snapshot_freq_for_preemption=5000,
+                  snapshot_sampling=True, likelihood_weighting=False,
+                  importance_sampling=False, num_train_data=162770),
+    sampling=dict(snr=0.075, batch_size=16, truncation_time=1e-3),
+    eval=dict(begin_ckpt=50, end_ckpt=96, batch_size=512,
+              enable_sampling=True),
+    data=dict(dataset="LSUN", image_size=256),
+    model=dict(sigma_max=378, num_scales=2000, dropout=0.0),
+), drop=dict(eval=["num_test_data", "residual", "lambda_",
+                   "probability_flow", "nelbo_iter", "nll_iter"]))
+
+# configs/default_stl10_configs.py
+_STL10 = _derive(_CIFAR10, dict(
+    training=dict(batch_size=196, num_train_data=105000),
+    sampling=dict(snr=0.17),
+    eval=dict(begin_ckpt=1, batch_size=512, enable_sampling=True,
+              enable_loss=False),
+    data=dict(dataset="STL10", image_size=48),
+    model=dict(sigma_max=150.0),
+))
+
+_DEFAULTS = {
+    "cifar10": _CIFAR10,
+    "celeba": _CELEBA,
+    "lsun": _LSUN,
+    "stl10": _STL10,
+}
+
+
+def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
+  """Build the default ConfigDict for a dataset family."""
+  spec = _DEFAULTS[dataset.lower()]
+  config = ml_collections.ConfigDict()
+  for section, values in spec.items():
+    setattr(config, section, _cfg(values))
+  config.seed = 42
+
+  # TPU-rebuild extensions (absent from the reference schema; all optional).
+  config.tpu = _cfg(dict(
+      mesh_shape=(),            # () = all devices on one 'data' axis
+      compute_dtype="float32",  # 'bfloat16' for speed on TPU
+      remat=False,              # jax.checkpoint the resblocks (1024^2 runs)
+      donate_state=True,
+  ))
+  return config
+
+
+def override(config: ml_collections.ConfigDict,
+             changes: Dict[str, Any]) -> ml_collections.ConfigDict:
+  """Apply {section: {key: value}} overrides (new keys allowed)."""
+  for section, values in changes.items():
+    if not isinstance(values, dict):
+      setattr(config, section, values)
+      continue
+    sub = getattr(config, section, None)
+    if sub is None:
+      setattr(config, section, _cfg(values))
+      continue
+    for k, v in values.items():
+      setattr(sub, k, v)
+  return config

@@ -69,32 +69,27 @@ def _uniform_bias_like_torch_conv(fan_in: int, scale: float = 1.0):
   return init
 
 
-class DDPMConv(nn.Module):
-  """3x3 (or kxk) conv with DDPM init: variance-scaled kernel, zero bias.
+def DDPMConv(features: int, kernel_size: int = 3, stride: int = 1,
+             init_scale: float = 1.0, use_bias: bool = True,
+             padding: Any = "SAME", dtype: Dtype = jnp.float32,
+             name: str | None = None) -> nn.Conv:
+  """kxk conv with DDPM init: variance-scaled kernel, zero bias.
 
   Parity: reference models/layers.py:100-124 (ddpm_conv1x1 / ddpm_conv3x3).
+  A factory (not a wrapper module) so params sit directly under ``name`` —
+  matching the reference checkpoint layout for the torch porter.
   """
-
-  features: int
-  kernel_size: int = 3
-  stride: int = 1
-  init_scale: float = 1.0
-  use_bias: bool = True
-  padding: Any = "SAME"
-  dtype: Dtype = jnp.float32
-
-  @nn.compact
-  def __call__(self, x: Array) -> Array:
-    return nn.Conv(
-        self.features,
-        (self.kernel_size, self.kernel_size),
-        strides=(self.stride, self.stride),
-        padding=self.padding,
-        use_bias=self.use_bias,
-        kernel_init=default_init(self.init_scale),
-        bias_init=nn.initializers.zeros,
-        dtype=self.dtype,
-    )(x)
+  return nn.Conv(
+      features,
+      (kernel_size, kernel_size),
+      strides=(stride, stride),
+      padding=padding,
+      use_bias=use_bias,
+      kernel_init=default_init(init_scale),
+      bias_init=nn.initializers.zeros,
+      dtype=dtype,
+      name=name,
+  )
 
 
 class NCSNConv(nn.Module):
@@ -128,25 +123,21 @@ class NCSNConv(nn.Module):
     )(x)
 
 
-class NIN(nn.Module):
+def NIN(features: int, init_scale: float = 0.1,
+        dtype: Dtype = jnp.float32, name: str | None = None) -> nn.Dense:
   """1x1 "network-in-network": dense over the channel axis.
 
   Parity: reference models/layers.py:546-555 (einsum contraction == dense
-  on NHWC's last axis; no permutes needed channels-last).
+  on NHWC's last axis; no permutes needed channels-last). Factory, like
+  :func:`DDPMConv`, to keep the param tree flat.
   """
-
-  features: int
-  init_scale: float = 0.1
-  dtype: Dtype = jnp.float32
-
-  @nn.compact
-  def __call__(self, x: Array) -> Array:
-    return nn.Dense(
-        self.features,
-        kernel_init=default_init(self.init_scale),
-        bias_init=nn.initializers.zeros,
-        dtype=self.dtype,
-    )(x)
+  return nn.Dense(
+      features,
+      kernel_init=default_init(init_scale),
+      bias_init=nn.initializers.zeros,
+      dtype=dtype,
+      name=name,
+  )
 
 
 def get_timestep_embedding(timesteps: Array, embedding_dim: int,

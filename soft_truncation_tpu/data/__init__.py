@@ -1,0 +1,13 @@
+from .datasets import (
+    get_dataset,
+    get_batch,
+    get_data_scaler,
+    get_data_inverse_scaler,
+)
+
+__all__ = [
+    "get_dataset",
+    "get_batch",
+    "get_data_scaler",
+    "get_data_inverse_scaler",
+]

@@ -1,0 +1,293 @@
+"""Input pipeline: tf.data on the host, NHWC float32 [0,1] batches out.
+
+Capability parity with reference datasets.py (CIFAR10/SVHN/CELEBA/LSUN via
+TFDS; FFHQ/CelebAHQ via score_sde-format TFRecords; IMAGENET32/STL10 via
+local arrays) with portable source resolution instead of the reference's
+hardcoded lab-host IP checks (datasets.py:147-161,230-239,258-269):
+
+  1. TFDS, if installed and the dataset is already prepared locally
+  2. local .npz arrays under $SOFT_TRUNCATION_DATA_DIR (or
+     config.data.data_dir): <name>_train.npz / <name>_test.npz with an
+     'images' uint8 NHWC array
+  3. score_sde-format TFRecords (config.data.tfrecords_path)
+  4. a deterministic synthetic dataset (loud warning) so smoke tests and
+     benchmarks run in data-less environments
+
+Per-host sharding for multi-host pods happens here (ds.shard), so the
+jitted train step always sees this host's slice of the global batch.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterator, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+try:
+  import tensorflow as tf
+  tf.config.set_visible_devices([], "GPU")
+  try:
+    tf.config.set_visible_devices([], "TPU")
+  except Exception:
+    pass
+  _HAVE_TF = True
+except Exception:  # pragma: no cover
+  tf = None
+  _HAVE_TF = False
+
+try:
+  import tensorflow_datasets as tfds
+  _HAVE_TFDS = True
+except Exception:
+  tfds = None
+  _HAVE_TFDS = False
+
+
+# ---------------------------------------------------------------------------
+# scalers (reference datasets.py:56-71)
+# ---------------------------------------------------------------------------
+
+
+def get_data_scaler(config):
+  """Data normalizer; data is always in [0, 1] coming out of the pipeline."""
+  if config.data.centered:
+    return lambda x: x * 2.0 - 1.0
+  return lambda x: x
+
+
+def get_data_inverse_scaler(config):
+  if config.data.centered:
+    return lambda x: (x + 1.0) / 2.0
+  return lambda x: x
+
+
+# ---------------------------------------------------------------------------
+# resize ops (reference datasets.py:74-103)
+# ---------------------------------------------------------------------------
+
+
+def crop_resize(image, resolution):
+  """Center-crop to square then bicubic resize."""
+  shape = tf.shape(image)
+  h, w = shape[0], shape[1]
+  crop = tf.minimum(h, w)
+  image = image[(h - crop) // 2:(h + crop) // 2,
+                (w - crop) // 2:(w + crop) // 2]
+  image = tf.image.resize(image, size=(resolution, resolution),
+                          antialias=True,
+                          method=tf.image.ResizeMethod.BICUBIC)
+  return tf.cast(image, tf.uint8)
+
+
+def resize_small(image, resolution):
+  """Shrink so the short side equals resolution."""
+  h, w = image.shape[0], image.shape[1]
+  ratio = resolution / min(h, w)
+  return tf.image.resize(image, [int(h * ratio), int(w * ratio)],
+                         antialias=True)
+
+
+def central_crop(image, size):
+  top = (image.shape[0] - size) // 2
+  left = (image.shape[1] - size) // 2
+  return tf.image.crop_to_bounding_box(image, top, left, size, size)
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+_TFDS_NAMES = {
+    "CIFAR10": "cifar10",
+    "CIFAR100": "cifar100",
+    "SVHN": "svhn_cropped",
+    "CELEBA": "celeb_a",
+    "STL10": "stl10",
+}
+
+_SPLITS = {
+    "CIFAR10": ("train", "test"),
+    "CIFAR100": ("train", "test"),
+    "SVHN": ("train", "test"),
+    "CELEBA": ("train", "test"),
+    "STL10": ("train", "test"),
+    "LSUN": ("train", "validation"),
+    "IMAGENET32": ("train", "validation"),
+}
+
+
+def _data_dir(config) -> Optional[str]:
+  return (config.data.get("data_dir", None)
+          or os.environ.get("SOFT_TRUNCATION_DATA_DIR"))
+
+
+def _npz_path(config, split: str) -> Optional[str]:
+  root = _data_dir(config)
+  if not root:
+    return None
+  name = config.data.dataset.lower()
+  path = os.path.join(root, f"{name}_{split}.npz")
+  return path if os.path.exists(path) else None
+
+
+def _load_tfds(config, split: str):
+  if not _HAVE_TFDS:
+    return None
+  name = _TFDS_NAMES.get(config.data.dataset)
+  if config.data.dataset == "LSUN":
+    name = f"lsun/{config.data.category}"
+  if name is None:
+    return None
+  try:
+    builder = tfds.builder(name, data_dir=_data_dir(config))
+    builder.download_and_prepare()
+    return builder.as_dataset(split=split, shuffle_files=True)
+  except Exception as e:  # dataset not prepared and no network
+    log.warning("TFDS source unavailable for %s: %s", name, e)
+    return None
+
+
+def _load_npz(config, split: str):
+  path = _npz_path(config, split)
+  if path is None:
+    return None
+  with np.load(path) as f:
+    images = f["images"]
+  assert images.dtype == np.uint8 and images.ndim == 4
+  log.info("loaded %s: %s images from %s", config.data.dataset,
+           len(images), path)
+  return tf.data.Dataset.from_tensor_slices({"image": images})
+
+
+def _load_tfrecords(config):
+  path = config.data.get("tfrecords_path", None)
+  if not path or not os.path.exists(path):
+    return None
+  ds = tf.data.TFRecordDataset(path)
+
+  def parse(d):
+    sample = tf.io.parse_single_example(d, features={
+        "shape": tf.io.FixedLenFeature([3], tf.int64),
+        "data": tf.io.FixedLenFeature([], tf.string)})
+    data = tf.io.decode_raw(sample["data"], tf.uint8)
+    data = tf.reshape(data, sample["shape"])
+    return {"image": tf.transpose(data, (1, 2, 0))}  # CHW -> HWC
+
+  return ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
+
+
+def _synthetic(config, split: str):
+  """Deterministic stand-in data (uint8) for data-less environments."""
+  n = 2048 if split != "train" else 8192
+  size = config.data.image_size
+  c = config.data.num_channels
+  log.warning("SYNTHETIC DATA in use for %s/%s — no real dataset found. "
+              "Set SOFT_TRUNCATION_DATA_DIR or install/prepare TFDS.",
+              config.data.dataset, split)
+  rng = np.random.RandomState(0 if split == "train" else 1)
+  # low-freq random images: random 4x4 upsampled, mildly noised
+  base = rng.randint(0, 256, size=(n, 4, 4, c)).astype(np.float32)
+  imgs = jax.image.resize(jnp.asarray(base), (n, size, size, c),
+                          "linear")
+  imgs = np.asarray(imgs) + rng.normal(0, 8, size=(n, size, size, c))
+  imgs = np.clip(imgs, 0, 255).astype(np.uint8)
+  return tf.data.Dataset.from_tensor_slices({"image": imgs})
+
+
+def _resize_op(config):
+  dataset = config.data.dataset
+  size = config.data.image_size
+
+  if dataset == "CELEBA":
+    def op(img):
+      img = tf.image.convert_image_dtype(img, tf.float32)
+      img = central_crop(img, 140)
+      return resize_small(img, size)
+  elif dataset == "LSUN" and size == 128:
+    def op(img):
+      img = tf.image.convert_image_dtype(img, tf.float32)
+      img = resize_small(img, size)
+      return central_crop(img, size)
+  elif dataset == "LSUN":
+    def op(img):
+      img = crop_resize(img, size)
+      return tf.image.convert_image_dtype(img, tf.float32)
+  else:
+    def op(img):
+      img = tf.image.convert_image_dtype(img, tf.float32)
+      return tf.image.resize(img, [size, size], antialias=True)
+  return op
+
+
+def get_dataset(config, evaluation_only: bool = False,
+                shard_per_host: bool = True):
+  """Build (train_ds, eval_ds) tf.data pipelines of image batches.
+
+  Pipeline: repeat -> shuffle(10k) -> map(resize+flip) -> batch -> prefetch
+  (reference datasets.py:328-344). Returned datasets yield numpy dicts
+  {'image': [B,H,W,C] float32 in [0,1]}.
+  """
+  assert _HAVE_TF, "tf.data input pipeline requires tensorflow"
+
+  def build(split: str, evaluation: bool):
+    ds = None
+    if config.data.dataset in ("FFHQ", "CelebAHQ"):
+      ds = _load_tfrecords(config)
+    if ds is None:
+      ds = _load_npz(config, split)
+    if ds is None:
+      ds = _load_tfds(config, split)
+    if ds is None:
+      ds = _synthetic(config, split)
+
+    if shard_per_host and jax.process_count() > 1:
+      ds = ds.shard(jax.process_count(), jax.process_index())
+
+    batch_size = (config.eval.batch_size if evaluation
+                  else config.training.batch_size)
+    per_host = batch_size // jax.process_count()
+    resize = _resize_op(config)
+
+    def preprocess(d):
+      img = resize(d["image"])
+      if config.data.random_flip and not evaluation:
+        img = tf.image.random_flip_left_right(img)
+      return {"image": img}
+
+    options = tf.data.Options()
+    options.experimental_optimization.map_parallelization = True
+    ds = ds.with_options(options)
+    ds = ds.repeat(count=1 if evaluation else None)
+    ds = ds.shuffle(10000, seed=config.seed if evaluation else None)
+    ds = ds.map(preprocess, num_parallel_calls=tf.data.AUTOTUNE)
+    ds = ds.batch(per_host, drop_remainder=not evaluation)
+    return ds.prefetch(tf.data.AUTOTUNE)
+
+  train_split, eval_split = _SPLITS.get(config.data.dataset,
+                                        ("train", "train"))
+  eval_ds = build(eval_split, evaluation=True)
+  if evaluation_only:
+    return None, eval_ds
+  train_ds = build(train_split, evaluation=False)
+  return train_ds, eval_ds
+
+
+def get_batch(config, data_iter, ds) -> Tuple[jax.Array, Iterator]:
+  """Next batch as a jnp NHWC float array; restarts exhausted epochs
+  (reference datasets.py:106-113)."""
+  try:
+    batch = next(data_iter)
+  except StopIteration:
+    log.info("New Epoch Start")
+    data_iter = iter(ds.as_numpy_iterator())
+    batch = next(data_iter)
+  img = jnp.asarray(batch["image"])
+  assert img.shape[1:] == (config.data.image_size, config.data.image_size,
+                           config.data.num_channels), img.shape
+  return img, data_iter

@@ -1,0 +1,54 @@
+"""Device mesh + sharding policy.
+
+The reference's entire parallelism story is single-process
+``torch.nn.DataParallel`` (models/utils.py:94): replicate the module per
+GPU, scatter the batch, gather outputs. The TPU-native equivalent is one
+GSPMD program: a ``Mesh`` with a ``data`` axis, batch arrays sharded on it,
+state replicated, and XLA inserting the gradient all-reduce over ICI.
+
+Multi-host pods need no extra code here — ``jax.devices()`` spans the
+slice, each host feeds its addressable shard of the batch
+(data/pipeline feeds per-host), and the same jitted step runs SPMD.
+
+The mesh shape is configurable (``config.tpu.mesh_shape``) so future
+model-parallel axes can be added; parity with the reference needs only
+the 1-D data axis.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(mesh_shape: Sequence[int] = (),
+              devices: Optional[Sequence] = None) -> Mesh:
+  """Build the device mesh. Default: every device on one 'data' axis."""
+  devices = list(devices if devices is not None else jax.devices())
+  if not mesh_shape:
+    mesh_shape = (len(devices),)
+  assert int(np.prod(mesh_shape)) == len(devices), (
+      f"mesh {mesh_shape} != {len(devices)} devices")
+  arr = np.asarray(devices).reshape(mesh_shape)
+  axis_names = (DATA_AXIS,) + tuple(
+      f"model{i}" for i in range(1, len(mesh_shape)))
+  return Mesh(arr, axis_names)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+  return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+  """Shard the leading (batch) dim over the data axis."""
+  return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+  """Place a host array as a batch-sharded device array."""
+  return jax.device_put(batch, batch_sharding(mesh))

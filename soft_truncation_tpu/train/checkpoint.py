@@ -1,0 +1,83 @@
+"""Two-tier Orbax checkpointing.
+
+Mirrors the reference layout (utils.py:49-73, run_lib.py:82-89):
+  workdir/checkpoints-meta/   rolling preemption checkpoint, auto-restored
+  workdir/checkpoints/        numbered snapshots checkpoint_<n>
+
+Degrades gracefully when nothing exists yet (utils.py:14-18).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from .state import TrainState
+
+log = logging.getLogger(__name__)
+
+
+class CheckpointManager:
+
+  def __init__(self, workdir: str):
+    self.workdir = os.path.abspath(workdir)
+    self.ckpt_dir = os.path.join(self.workdir, "checkpoints")
+    self.meta_dir = os.path.join(self.workdir, "checkpoints-meta")
+    os.makedirs(self.ckpt_dir, exist_ok=True)
+    os.makedirs(self.meta_dir, exist_ok=True)
+    self._ckptr = ocp.StandardCheckpointer()
+
+  # -- rolling preemption checkpoint --------------------------------------
+  @property
+  def meta_path(self) -> str:
+    return os.path.join(self.meta_dir, "checkpoint")
+
+  def save_meta(self, state: TrainState) -> None:
+    tmp = self.meta_path + ".tmp"
+    if os.path.exists(tmp):
+      shutil.rmtree(tmp)
+    self._ckptr.save(tmp, state)
+    self._ckptr.wait_until_finished()
+    if os.path.exists(self.meta_path):
+      shutil.rmtree(self.meta_path)
+    os.rename(tmp, self.meta_path)
+
+  def restore_meta(self, template: TrainState) -> Optional[TrainState]:
+    """Restore the rolling checkpoint if present; else None."""
+    if not os.path.exists(self.meta_path):
+      log.warning("No checkpoint found at %s. Starting fresh.",
+                  self.meta_path)
+      return None
+    restored = self._ckptr.restore(self.meta_path, template)
+    log.info("%s loaded ...", self.meta_path)
+    return restored
+
+  # -- numbered snapshots ---------------------------------------------------
+  def snapshot_path(self, save_step: int) -> str:
+    return os.path.join(self.ckpt_dir, f"checkpoint_{save_step}")
+
+  def save_snapshot(self, state: TrainState, save_step: int) -> None:
+    path = self.snapshot_path(save_step)
+    if os.path.exists(path):
+      shutil.rmtree(path)
+    self._ckptr.save(path, state)
+    self._ckptr.wait_until_finished()
+
+  def restore_snapshot(self, template: TrainState,
+                       save_step: int) -> TrainState:
+    return self._ckptr.restore(self.snapshot_path(save_step), template)
+
+  def latest_snapshot_step(self) -> Optional[int]:
+    steps = []
+    for name in os.listdir(self.ckpt_dir):
+      if name.startswith("checkpoint_"):
+        try:
+          steps.append(int(name.split("_")[1]))
+        except ValueError:
+          pass
+    return max(steps) if steps else None

@@ -1,0 +1,50 @@
+"""Training state: one pytree carrying params, optimizer state, EMA, step.
+
+Replaces the reference's mutable dict {optimizer, model, ema, step}
+(utils.py:49-73) with an immutable flax.struct dataclass that jit
+threads through the train step.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@flax.struct.dataclass
+class TrainState:
+  step: jax.Array          # int32 scalar
+  params: Any
+  opt_state: Any
+  ema_params: Any
+  ema_rate: float = flax.struct.field(pytree_node=False, default=0.9999)
+
+
+def init_train_state(key, config, model, tx: optax.GradientTransformation,
+                     input_shape=None) -> TrainState:
+  """Initialize params (and EMA copy) for ``model`` under ``config``."""
+  if input_shape is None:
+    input_shape = (1, config.data.image_size, config.data.image_size,
+                   config.data.num_channels)
+  x = jnp.zeros(input_shape, dtype=jnp.float32)
+  if config.model.embedding_type == "fourier":
+    t = jnp.ones((input_shape[0],), dtype=jnp.float32)
+  else:
+    t = jnp.zeros((input_shape[0],), dtype=jnp.float32)
+  variables = model.init({"params": key}, x, t, train=False)
+  params = variables["params"]
+  return TrainState(
+      step=jnp.zeros((), jnp.int32),
+      params=params,
+      opt_state=tx.init(params),
+      ema_params=jax.tree.map(jnp.copy, params),
+      ema_rate=float(config.model.ema_rate),
+  )
+
+
+def param_count(params) -> int:
+  return sum(p.size for p in jax.tree.leaves(params))

@@ -1,0 +1,156 @@
+"""End-to-end train step tests on the 8-device virtual CPU mesh."""
+
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from soft_truncation_tpu.configs.base import default_config, override
+from soft_truncation_tpu.losses import get_optimizer
+from soft_truncation_tpu.models import create_model
+from soft_truncation_tpu.parallel import (batch_sharding, make_mesh,
+                                          replicated_sharding, shard_batch)
+from soft_truncation_tpu.sde import get_sde
+from soft_truncation_tpu.train import (CheckpointManager, TrainState,
+                                       init_train_state, make_train_step)
+
+
+def tiny_train_config(**training_overrides):
+  config = default_config("cifar10")
+  training = dict(sde="vpsde", continuous=True, reduce_mean=True, st=True,
+                  k=1.0, likelihood_weighting=False, truncation_time=1e-5,
+                  batch_size=16)
+  training.update(training_overrides)
+  override(config, {
+      "training": training,
+      "optim": dict(num_micro_batch=2, warmup=10),
+      "data": dict(image_size=8, centered=True),
+      "model": dict(
+          name="ncsnpp", scale_by_sigma=False, ema_rate=0.999,
+          normalization="GroupNorm", nonlinearity="swish", nf=8,
+          ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(4,),
+          resamp_with_conv=True, conditional=True, fir=False,
+          fir_kernel=[1, 3, 3, 1], skip_rescale=True,
+          resblock_type="biggan", progressive="none",
+          progressive_input="none", progressive_combine="sum",
+          init_scale=0.0, embedding_type="fourier", fourier_scale=16),
+  })
+  return config
+
+
+def build(config):
+  sde = get_sde(config)
+  model = create_model(config)
+  tx = get_optimizer(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model, tx)
+  step_fn = make_train_step(config, sde, model, tx)
+  return sde, model, tx, state, step_fn
+
+
+def test_train_step_runs_and_learns():
+  config = tiny_train_config()
+  _, _, _, state, step_fn = build(config)
+  mesh = make_mesh()
+  assert mesh.devices.size == 8
+
+  rs = replicated_sharding(mesh)
+  bs = batch_sharding(mesh)
+  jitted = jax.jit(step_fn,
+                   in_shardings=(rs, bs, rs),
+                   out_shardings=(rs, rs),
+                   donate_argnums=0)
+
+  batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3)) * 2 - 1
+  batch = shard_batch(mesh, batch)
+
+  losses0 = None
+  for i in range(5):
+    state, losses = jitted(state, batch,
+                           jax.random.PRNGKey(100 + i))
+    assert losses.shape == (16,)
+    assert bool(jnp.all(jnp.isfinite(losses)))
+    if losses0 is None:
+      losses0 = float(jnp.mean(losses))
+  assert int(state.step) == 5
+  # params must differ from EMA (warmup decay keeps EMA close to params
+  # but not equal after several steps)
+  p = jax.tree.leaves(state.params)[0]
+  e = jax.tree.leaves(state.ema_params)[0]
+  assert p.shape == e.shape
+
+
+def test_train_step_mixed():
+  config = tiny_train_config(mixed=True, ddpm_weight=0.1, balanced=True,
+                             importance_sampling=False)
+  _, _, _, state, step_fn = build(config)
+  batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3)) * 2 - 1
+  state, losses = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(2))
+  # mixed step returns B/2 per-example losses (reference losses.py:303)
+  assert losses.shape == (8,)
+  assert bool(jnp.all(jnp.isfinite(losses)))
+
+
+def test_train_step_discrete_ddpm():
+  config = tiny_train_config(continuous=False, st=False,
+                             likelihood_weighting=False)
+  _, _, _, state, step_fn = build(config)
+  batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3)) * 2 - 1
+  state, losses = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(2))
+  assert losses.shape == (16,)
+  assert bool(jnp.all(jnp.isfinite(losses)))
+
+
+def test_checkpoint_roundtrip():
+  config = tiny_train_config()
+  _, _, _, state, step_fn = build(config)
+  batch = jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3)) * 2 - 1
+  state, _ = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(2))
+
+  with tempfile.TemporaryDirectory() as workdir:
+    mgr = CheckpointManager(workdir)
+    assert mgr.restore_meta(state) is None  # nothing yet -> graceful
+    mgr.save_meta(state)
+    mgr.save_snapshot(state, save_step=1)
+
+    template = jax.tree.map(jnp.zeros_like, state)
+    restored = mgr.restore_meta(template)
+    assert restored is not None
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert mgr.latest_snapshot_step() == 1
+
+    # rolling overwrite
+    mgr.save_meta(restored)
+    again = mgr.restore_meta(template)
+    assert int(again.step) == int(state.step)
+
+
+def test_lr_warmup_schedule():
+  from soft_truncation_tpu.losses import lr_schedule
+  config = tiny_train_config()
+  sched = lr_schedule(config)
+  assert float(sched(0)) == 0.0
+  assert float(sched(5)) == pytest.approx(config.optim.lr * 0.5)
+  assert float(sched(10)) == pytest.approx(config.optim.lr)
+  assert float(sched(100)) == pytest.approx(config.optim.lr)
+
+
+def test_synthetic_data_pipeline():
+  from soft_truncation_tpu.data import get_dataset, get_batch, \
+      get_data_scaler, get_data_inverse_scaler
+  config = tiny_train_config()
+  config.data.dataset = "CIFAR10"
+  config.training.batch_size = 8
+  config.eval.batch_size = 8
+  train_ds, eval_ds = get_dataset(config)
+  it = iter(train_ds.as_numpy_iterator())
+  batch, it = get_batch(config, it, train_ds)
+  assert batch.shape == (8, 8, 8, 3)
+  assert float(batch.min()) >= 0.0 and float(batch.max()) <= 1.0
+  scaler = get_data_scaler(config)
+  inv = get_data_inverse_scaler(config)
+  np.testing.assert_allclose(np.asarray(inv(scaler(batch))),
+                             np.asarray(batch), rtol=1e-6)

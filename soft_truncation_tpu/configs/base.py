@@ -46,7 +46,7 @@ _CIFAR10 = dict(
         dataset="CIFAR10", image_size=32, random_flip=True, centered=False,
         dequantization="none", num_channels=3),
     model=dict(
-        sigma_min=0.01, sigma_max=50, num_scales=1000, beta_min=0.1,
+        sigma_min=0.01, sigma_max=50.0, num_scales=1000, beta_min=0.1,
         beta_max=20.0, dropout=0.1, embedding_type="fourier",
         auxiliary_resblock=True, attention=True, fourier_feature=False,
         lsgm=False),
@@ -90,7 +90,7 @@ _LSUN = _derive(_CIFAR10, dict(
     eval=dict(begin_ckpt=50, end_ckpt=96, batch_size=512,
               enable_sampling=True),
     data=dict(dataset="LSUN", image_size=256),
-    model=dict(sigma_max=378, num_scales=2000, dropout=0.0),
+    model=dict(sigma_max=378.0, num_scales=2000, dropout=0.0),
 ), drop=dict(eval=["num_test_data", "residual", "lambda_",
                    "probability_flow", "nelbo_iter", "nll_iter"]))
 
@@ -132,15 +132,18 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
 
 def override(config: ml_collections.ConfigDict,
              changes: Dict[str, Any]) -> ml_collections.ConfigDict:
-  """Apply {section: {key: value}} overrides (new keys allowed)."""
-  for section, values in changes.items():
-    if not isinstance(values, dict):
-      setattr(config, section, values)
-      continue
-    sub = getattr(config, section, None)
-    if sub is None:
-      setattr(config, section, _cfg(values))
-      continue
-    for k, v in values.items():
-      setattr(sub, k, v)
+  """Apply {section: {key: value}} overrides (new keys allowed; numeric
+  type changes like int->float allowed)."""
+  with config.ignore_type():
+    for section, values in changes.items():
+      if not isinstance(values, dict):
+        setattr(config, section, values)
+        continue
+      sub = getattr(config, section, None)
+      if sub is None:
+        setattr(config, section, _cfg(values))
+        continue
+      with sub.ignore_type():
+        for k, v in values.items():
+          setattr(sub, k, v)
   return config

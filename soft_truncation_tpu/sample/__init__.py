@@ -1,0 +1,22 @@
+from .sampling import (
+    get_sampling_fn,
+    get_pc_sampler,
+    get_ode_sampler,
+    register_predictor,
+    register_corrector,
+    get_predictor,
+    get_corrector,
+)
+from .ode import odeint_dopri5, odeint_rk4_fixed
+
+__all__ = [
+    "get_sampling_fn",
+    "get_pc_sampler",
+    "get_ode_sampler",
+    "register_predictor",
+    "register_corrector",
+    "get_predictor",
+    "get_corrector",
+    "odeint_dopri5",
+    "odeint_rk4_fixed",
+]

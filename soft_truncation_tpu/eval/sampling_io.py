@@ -1,0 +1,108 @@
+"""Sample generation I/O: resumable npz sample shards, PNG grids, cached
+feature statistics.
+
+Parity target: reference sampling_lib.py (get_dir_name/get_samples/
+get_latents/save_statistics) and save.py. Artifacts are idempotent: a
+shard or statistics file that already exists is loaded, not regenerated
+(the reference's resumability story, SURVEY.md section 4).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def get_dir_name(config, sample_dir: str, step: int) -> str:
+  """Encode sampler hyperparameters into the directory name
+  (reference sampling_lib.py:29-34)."""
+  s = config.sampling
+  if s.method == "pc":
+    tag = (f"{s.method}_{s.predictor}_{s.corrector}_snr{s.snr}"
+           f"_n{s.n_steps_each}_trunc{s.truncation_time}")
+  else:
+    tag = f"{s.method}_trunc{s.truncation_time}"
+  return os.path.join(sample_dir, f"ckpt_{step}_{tag}")
+
+
+def save_image_grid(samples_uint8: np.ndarray, path: str,
+                    max_images: int = 64) -> None:
+  """Save a PNG grid (replaces torchvision.utils.save_image,
+  reference sampling_lib.py:49-54)."""
+  from PIL import Image
+
+  imgs = samples_uint8[:max_images]
+  n = len(imgs)
+  cols = int(np.ceil(np.sqrt(n)))
+  rows = int(np.ceil(n / cols))
+  h, w, c = imgs.shape[1:]
+  grid = np.zeros((rows * h, cols * w, c), dtype=np.uint8)
+  for i, img in enumerate(imgs):
+    r, col = divmod(i, cols)
+    grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
+  if c == 1:
+    grid = grid[..., 0]
+  Image.fromarray(grid).save(path)
+
+
+def get_samples(config, model, params, sampling_fn, step: int,
+                sampling_idx: int, sample_dir: str,
+                key: Optional[jax.Array] = None) -> np.ndarray:
+  """Generate (or load cached) one shard of samples as uint8 NHWC
+  (reference sampling_lib.py:36-57)."""
+  dir_name = get_dir_name(config, sample_dir, step)
+  os.makedirs(dir_name, exist_ok=True)
+  shard_path = os.path.join(dir_name, f"samples_{sampling_idx}.npz")
+  if os.path.exists(shard_path):
+    with np.load(shard_path) as f:
+      return f["samples"]
+
+  if key is None:
+    key = jax.random.PRNGKey(sampling_idx)
+  samples, nfe = sampling_fn(model, params, key)
+  samples = np.asarray(samples)
+  samples = np.clip(samples * 255.0, 0, 255).astype(np.uint8)
+  np.savez_compressed(shard_path, samples=samples)
+  save_image_grid(samples, os.path.join(dir_name,
+                                        f"samples_{sampling_idx}.png"))
+  log.info("wrote %s (%d samples, nfe=%s)", shard_path, len(samples), nfe)
+  return samples
+
+
+def get_latents(config, samples_uint8: np.ndarray, extractor, step: int,
+                sampling_idx: int, sample_dir: str) -> Tuple[np.ndarray,
+                                                             np.ndarray]:
+  """Inception features for one shard, cached next to the samples
+  (reference sampling_lib.py:59-83)."""
+  dir_name = get_dir_name(config, sample_dir, step)
+  stat_path = os.path.join(dir_name, f"statistics_{sampling_idx}.npz")
+  if os.path.exists(stat_path):
+    with np.load(stat_path) as f:
+      return f["pool_3"], (f["logits"] if "logits" in f.files else None)
+  feats, probs = extractor(samples_uint8)
+  np.savez_compressed(stat_path, pool_3=feats,
+                      **({"logits": probs} if probs is not None else {}))
+  return feats, probs
+
+
+def load_all_statistics(config, sample_dir: str, step: int):
+  """Concatenate every cached statistics shard for a checkpoint."""
+  import glob
+
+  dir_name = get_dir_name(config, sample_dir, step)
+  feats, probs = [], []
+  for path in sorted(glob.glob(os.path.join(dir_name, "statistics_*.npz"))):
+    with np.load(path) as f:
+      feats.append(f["pool_3"])
+      if "logits" in f.files:
+        probs.append(f["logits"])
+  if not feats:
+    return None, None
+  return (np.concatenate(feats),
+          np.concatenate(probs) if probs else None)

@@ -1,0 +1,71 @@
+"""CLI entry: python -m soft_truncation_tpu.main --config <cfg.py> \
+    --workdir <dir> --mode {train,eval} [--assetdir ...] [--eval_folder ...]
+
+Same surface as reference main.py:29-37 (minus the environment-specific
+assetdir default walking four directories up, main.py:33-34).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from absl import app, flags
+from ml_collections.config_flags import config_flags
+
+FLAGS = flags.FLAGS
+
+config_flags.DEFINE_config_file("config", None, "Training configuration.",
+                                lock_config=False)
+flags.DEFINE_string("workdir", None, "Work directory.")
+flags.DEFINE_enum("mode", None, ["train", "eval"],
+                  "Running mode: train or eval")
+flags.DEFINE_string("assetdir", "assets/stats",
+                    "Folder with dataset statistics / inception weights.")
+flags.DEFINE_string("eval_folder", "eval",
+                    "The folder name for storing evaluation results")
+flags.mark_flags_as_required(["workdir", "config", "mode"])
+
+
+def _setup_logging(workdir: str, filename: str) -> None:
+  os.makedirs(workdir, exist_ok=True)
+  handler = logging.StreamHandler(open(os.path.join(workdir, filename), "a"))
+  handler.setFormatter(logging.Formatter(
+      "%(levelname)s - %(filename)s - %(asctime)s - %(message)s"))
+  logger = logging.getLogger()
+  logger.addHandler(handler)
+  logger.setLevel("INFO")
+
+
+def _dump_config(config, workdir: str) -> None:
+  with open(os.path.join(workdir, "config.txt"), "w") as f:
+    for k, v in config.to_dict().items():
+      f.write(f"{k}\n")
+      if isinstance(v, dict):
+        for k2, v2 in v.items():
+          f.write(f"> {k2}: {v2}\n")
+      f.write("\n\n")
+
+
+def main(argv):
+  del argv
+  from . import run_lib
+
+  os.makedirs(FLAGS.workdir, exist_ok=True)
+  _dump_config(FLAGS.config, FLAGS.workdir)
+
+  if FLAGS.mode == "train":
+    _setup_logging(FLAGS.workdir, "stdout.txt")
+    run_lib.train(FLAGS.config, FLAGS.workdir, FLAGS.assetdir)
+  elif FLAGS.mode == "eval":
+    os.makedirs(os.path.join(FLAGS.workdir, FLAGS.eval_folder),
+                exist_ok=True)
+    _setup_logging(FLAGS.workdir, "evaluation_history.txt")
+    run_lib.evaluate(FLAGS.config, FLAGS.workdir, FLAGS.assetdir,
+                     FLAGS.eval_folder)
+  else:
+    raise ValueError(f"Mode {FLAGS.mode} not recognized.")
+
+
+if __name__ == "__main__":
+  app.run(main)

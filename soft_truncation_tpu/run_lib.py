@@ -1,0 +1,152 @@
+"""Training/evaluation pipelines (reference run_lib.py, TPU-native).
+
+One jitted, GSPMD-sharded train step; host loop only feeds data and handles
+checkpoints/logging. Per-step host work is one async dispatch — the
+reference's per-step ``.cpu()`` loss sync (losses.py:288) becomes a
+device->host fetch only on logging steps.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import data as datasets
+from .eval import evaluation, sampling_io
+from .eval.inception import get_feature_extractor
+from .likelihood import get_elbo_fn, get_likelihood_fn
+from .losses import get_optimizer
+from .models import create_model
+from .parallel import (batch_sharding, make_mesh, replicated_sharding,
+                       shard_batch)
+from .sample import get_sampling_fn
+from .sde import get_sde
+from .train import (CheckpointManager, init_train_state, make_train_step)
+from .train.state import param_count
+
+log = logging.getLogger(__name__)
+
+
+def _build_everything(config, workdir):
+  """Shared setup for train/eval: sde, model, state, fns, checkpoints."""
+  sde = get_sde(config)
+  model = create_model(config)
+  tx = get_optimizer(config)
+  state = init_train_state(jax.random.PRNGKey(config.seed), config, model,
+                           tx)
+  log.info("model parameters: %d", param_count(state.params))
+
+  ckpt = CheckpointManager(workdir)
+  restored = ckpt.restore_meta(state)
+  if restored is not None:
+    state = restored
+
+  scaler = datasets.get_data_scaler(config)
+  inverse_scaler = datasets.get_data_inverse_scaler(config)
+
+  nll_fn = get_likelihood_fn(config, sde, inverse_scaler)
+  nelbo_fn = get_elbo_fn(config, sde, inverse_scaler=inverse_scaler)
+  sampling_shape = (config.sampling.batch_size, config.data.image_size,
+                    config.data.image_size, config.data.num_channels)
+  sampling_fn = get_sampling_fn(config, sde, sampling_shape, inverse_scaler,
+                                config.sampling.truncation_time)
+  return (sde, model, tx, state, ckpt, scaler, inverse_scaler, nll_fn,
+          nelbo_fn, sampling_fn)
+
+
+def train(config, workdir, assetdir=None):
+  """Training pipeline (reference run_lib.py:36-113)."""
+  sample_dir = os.path.join(workdir, "samples")
+  os.makedirs(sample_dir, exist_ok=True)
+
+  (sde, model, tx, state, ckpt, scaler, inverse_scaler, nll_fn, nelbo_fn,
+   sampling_fn) = _build_everything(config, workdir)
+  initial_step = int(state.step)
+
+  log.info("loading %s...", config.data.dataset)
+  train_ds, eval_ds = datasets.get_dataset(config)
+  train_iter = iter(train_ds.as_numpy_iterator())
+
+  mesh = make_mesh(tuple(config.tpu.get("mesh_shape", ())))
+  rs = replicated_sharding(mesh)
+  bs = batch_sharding(mesh)
+  step_fn = make_train_step(config, sde, model, tx)
+  donate = (0,) if config.tpu.get("donate_state", True) else ()
+  jitted_step = jax.jit(step_fn, in_shardings=(rs, bs, rs),
+                        out_shardings=(rs, rs), donate_argnums=donate)
+  state = jax.device_put(state, rs)
+
+  key = jax.random.PRNGKey(config.seed)
+  log.info("Starting training loop at step %d.", initial_step)
+  for step in range(initial_step, config.training.n_iters + 1):
+    batch, train_iter = datasets.get_batch(config, train_iter, train_ds)
+    key, k_dq, k_step = jax.random.split(key, 3)
+    if config.data.dequantization == "uniform":
+      batch = (255.0 * batch + jax.random.uniform(k_dq, batch.shape)) / 256.0
+    batch = scaler(batch)
+    batch = shard_batch(mesh, batch)
+
+    state, losses = jitted_step(state, batch, k_step)
+
+    if step % config.training.log_freq == 0:
+      losses_np = np.asarray(losses)
+      log.info("step: %d, training loss mean: %.5e, training loss std: "
+               "%.5e", step, losses_np.mean(), losses_np.std())
+
+    if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
+      ckpt.save_meta(state)
+
+    if (step != 0 and step % config.training.snapshot_freq == 0
+        or step == config.training.n_iters):
+      ckpt.save_snapshot(state, step // config.training.snapshot_freq)
+
+    if step != 0 and step % config.training.snapshot_freq == 0:
+      if config.eval.enable_bpd:
+        evaluation.compute_bpd(config, eval_ds, scaler, inverse_scaler,
+                               nelbo_fn, nll_fn, model, state.ema_params,
+                               step=step)
+
+    if (step != 0 and step % config.training.snapshot_freq == 0
+        or step == config.training.n_iters
+        or config.training.get("whatever_sampling", False)):
+      if config.training.snapshot_sampling:
+        log.info("sampling start ...")
+        evaluation.compute_fid_and_is(config, model, state.ema_params,
+                                      sampling_fn, step, sample_dir,
+                                      assetdir, config.eval.num_samples,
+                                      eval_ds=eval_ds)
+  return state
+
+
+def evaluate(config, workdir, assetdir=None, eval_folder="eval"):
+  """Evaluation pipeline (reference run_lib.py:115-163)."""
+  eval_dir = os.path.join(workdir, eval_folder)
+  os.makedirs(eval_dir, exist_ok=True)
+
+  (sde, model, tx, state, ckpt, scaler, inverse_scaler, nll_fn, nelbo_fn,
+   sampling_fn) = _build_everything(config, workdir)
+  step = int(state.step)
+  log.info("score model step: %d", step)
+  # eval uses the EMA weights (reference run_lib.py:140)
+  params = state.ema_params
+
+  _, eval_ds = datasets.get_dataset(config, evaluation_only=True)
+
+  results = {}
+  if config.eval.enable_bpd:
+    results.update(evaluation.compute_bpd(
+        config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn, model,
+        params, step=step, eval=True))
+
+  if config.eval.enable_sampling:
+    log.info("sampling start ...")
+    results.update(evaluation.compute_fid_and_is(
+        config, model, params, sampling_fn, step, eval_dir, assetdir,
+        config.eval.num_samples, eval_ds=eval_ds))
+  return results

@@ -1,0 +1,120 @@
+"""Metric math tests + full train/eval pipeline smoke on synthetic data."""
+
+import math
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from soft_truncation_tpu.eval.metrics import (compute_stats,
+                                              frechet_distance,
+                                              frechet_distance_jax,
+                                              inception_score_from_probs,
+                                              kernel_distance)
+
+
+def test_frechet_distance_identical_is_zero():
+  rng = np.random.RandomState(0)
+  f = rng.normal(size=(500, 16))
+  mu, cov = compute_stats(f)
+  assert frechet_distance(mu, cov, mu, cov) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_frechet_distance_known_value():
+  """For isotropic Gaussians: FID = |mu1-mu2|^2 + D(s1 + s2 - 2 sqrt(s1 s2))."""
+  d = 8
+  mu1, mu2 = np.zeros(d), np.full(d, 0.5)
+  s1, s2 = np.eye(d) * 2.0, np.eye(d) * 0.5
+  got = frechet_distance(mu1, s1, mu2, s2)
+  expect = d * 0.25 + d * (2.0 + 0.5 - 2 * math.sqrt(1.0))
+  assert got == pytest.approx(expect, rel=1e-6)
+
+
+def test_frechet_distance_jax_matches_scipy():
+  rng = np.random.RandomState(1)
+  f1 = rng.normal(size=(800, 12))
+  f2 = rng.normal(loc=0.3, size=(800, 12))
+  mu1, c1 = compute_stats(f1)
+  mu2, c2 = compute_stats(f2)
+  ref = frechet_distance(mu1, c1, mu2, c2)
+  got = float(frechet_distance_jax(mu1, c1, mu2, c2))
+  assert got == pytest.approx(ref, rel=2e-2)
+
+
+def test_kernel_distance_sanity():
+  rng = np.random.RandomState(2)
+  f1 = rng.normal(size=(400, 8))
+  f2 = rng.normal(size=(400, 8))
+  f3 = rng.normal(loc=2.0, size=(400, 8))
+  near = kernel_distance(f1, f2, num_subsets=10, max_subset_size=200)
+  far = kernel_distance(f1, f3, num_subsets=10, max_subset_size=200)
+  assert far > near
+  assert abs(near) < 1.0
+
+
+def test_inception_score_bounds():
+  # uniform predictions -> IS == 1; one-hot diverse -> IS == num_classes
+  n, k = 1000, 10
+  uniform = np.full((n, k), 1.0 / k)
+  assert inception_score_from_probs(uniform) == pytest.approx(1.0, rel=1e-5)
+  onehot = np.eye(k)[np.arange(n) % k] * 0.9999 + 1e-5
+  assert inception_score_from_probs(onehot) > 5.0
+
+
+def _pipeline_config():
+  from soft_truncation_tpu.configs.base import default_config, override
+  config = default_config("cifar10")
+  override(config, {
+      "training": dict(sde="vpsde", continuous=True, reduce_mean=True,
+                       st=True, k=1.0, likelihood_weighting=False,
+                       truncation_time=1e-5, batch_size=16, n_iters=3,
+                       snapshot_freq=1000, snapshot_freq_for_preemption=2,
+                       log_freq=1, eval_freq=1, snapshot_sampling=False),
+      "optim": dict(num_micro_batch=1, warmup=2),
+      "sampling": dict(method="pc", predictor="euler_maruyama",
+                       corrector="none", batch_size=8, snr=0.16,
+                       n_steps_each=1, noise_removal=True,
+                       probability_flow=False),
+      "eval": dict(batch_size=8, enable_bpd=True, enable_sampling=True,
+                   num_samples=64, nelbo_iter=1, nll_iter=1, residual=True,
+                   lambda_=0.0, probability_flow=True),
+      "data": dict(image_size=8, centered=True),
+      "model": dict(
+          name="ncsnpp", scale_by_sigma=False, ema_rate=0.999,
+          normalization="GroupNorm", nonlinearity="swish", nf=8,
+          ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(4,),
+          resamp_with_conv=True, conditional=True, fir=False,
+          fir_kernel=[1, 3, 3, 1], skip_rescale=True,
+          resblock_type="biggan", progressive="none",
+          progressive_input="none", progressive_combine="sum",
+          init_scale=0.0, embedding_type="fourier", fourier_scale=16,
+          num_scales=20),
+  })
+  return config
+
+
+def test_run_lib_train_and_evaluate_smoke():
+  """Full train (3 steps, synthetic data, checkpoints) then evaluate
+  (bpd + sampling + FID with the dummy extractor)."""
+  from soft_truncation_tpu import run_lib
+
+  config = _pipeline_config()
+  with tempfile.TemporaryDirectory() as workdir:
+    state = run_lib.train(config, workdir, assetdir=None)
+    # the loop is range(0, n_iters + 1) like the reference (run_lib.py:70)
+    assert int(state.step) == 4
+    # preemption checkpoint written at step 2
+    assert os.path.exists(os.path.join(workdir, "checkpoints-meta",
+                                       "checkpoint"))
+    # resume: train again — should restore and continue from the checkpoint
+    state2 = run_lib.train(config, workdir, assetdir=None)
+    assert int(state2.step) >= 4
+
+    results = run_lib.evaluate(config, workdir, assetdir=None)
+    assert "nelbo_bpd_mean" in results
+    assert "nll_bpd_mean" in results
+    assert "fid" in results
+    assert np.isfinite(results["fid"])
+    assert np.isfinite(results["nll_bpd_mean"])

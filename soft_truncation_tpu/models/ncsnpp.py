@@ -257,9 +257,19 @@ class NCSNpp(nn.Module):
 
   @classmethod
   def from_config(cls, config) -> "NCSNpp":
-    """Build from an ml_collections config with the reference schema."""
+    """Build from an ml_collections config with the reference schema.
+
+    ``config.tpu.compute_dtype = 'bfloat16'`` puts every conv/dense on the
+    MXU in bf16 (params stay f32; GroupNorm statistics auto-promote to f32
+    because the scale/bias params are f32).
+    """
     m, d = config.model, config.data
+    dtype = jnp.bfloat16 if (
+        config.get("tpu") is not None
+        and config.tpu.get("compute_dtype", "float32") == "bfloat16"
+    ) else jnp.float32
     return cls(
+        dtype=dtype,
         nf=m.nf,
         ch_mult=tuple(m.ch_mult),
         num_res_blocks=m.num_res_blocks,

@@ -1,0 +1,195 @@
+"""Pallas TPU kernels for separable FIR 2x resampling (StyleGAN2 paths).
+
+The generic upfirdn2d lowers to a dilated depthwise conv (ops/resample.py),
+which on an up=2 path multiplies 75% zeros (the inserted ones) and walks
+XLA's general conv machinery for what is really a 2-tap polyphase filter.
+These kernels keep one image block resident in VMEM and do the exact
+polyphase arithmetic on the VPU:
+
+  up=2   out[2i+p] = sum_{t: (p+t-pad0) even} K[T-1-t] * x[i + (p+t-pad0)/2]
+  down=2 out[j]    = sum_t K[T-1-t] * x_padded[2j + t]
+
+applied separably over H then W. Math parity target: reference
+op/upfirdn2d.py:159-200 with the standard upsample_2d/downsample_2d pad
+choices (models/up_or_down_sampling.py:195-257).
+
+Grid: (batch, channel-tiles) — channels ride the 128-wide lane dimension;
+each program owns a [H, W, Ct] block.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+
+try:  # TPU-only import is fine to fail on CPU-only builds
+  from jax.experimental.pallas import tpu as pltpu
+  _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+  pltpu = None
+  _HAVE_PLTPU = False
+
+
+def pallas_available() -> bool:
+  try:
+    return _HAVE_PLTPU and jax.default_backend() == "tpu"
+  except Exception:  # pragma: no cover
+    return False
+
+
+def _phase_taps_up2(T: int, pad0: int) -> Tuple[list, list]:
+  """For each output phase p, the (kernel_index, input_offset) pairs."""
+  phases = []
+  for p in (0, 1):
+    taps = []
+    for t in range(T):
+      if (p + t - pad0) % 2 == 0:
+        taps.append((T - 1 - t, (p + t - pad0) // 2))
+      # kernel coefficient used is K[T-1-t] (flip = true convolution)
+    phases.append(taps)
+  return phases[0], phases[1]
+
+
+def _up2_axis(x, k: np.ndarray, pad0: int, pad1: int, axis: int):
+  """Polyphase 2x upsample + FIR along ``axis`` (static everything)."""
+  T = len(k)
+  L = x.shape[axis]
+  M = 2 * L + pad0 + pad1 - T + 1
+  assert M == 2 * L, (
+      f"up2 path expects output 2L (got M={M}, L={L}); use the lax path")
+  taps0, taps1 = _phase_taps_up2(T, pad0)
+  offsets = [o for _, o in taps0 + taps1]
+  lo, hi = -min(min(offsets), 0), max(max(offsets) + 1 - 1, 0)
+  pad_width = [(0, 0)] * x.ndim
+  pad_width[axis] = (lo, hi)
+  xp = jnp.pad(x, pad_width)
+
+  def take(o, n):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(lo + o, lo + o + n)
+    return xp[tuple(idx)]
+
+  outs = []
+  for taps in (taps0, taps1):
+    acc = None
+    for ki, o in taps:
+      term = float(k[ki]) * take(o, L)
+      acc = term if acc is None else acc + term
+    outs.append(acc)
+  # interleave phases along axis
+  stacked = jnp.stack(outs, axis=axis + 1)  # [..., L, 2, ...]
+  new_shape = list(x.shape)
+  new_shape[axis] = 2 * L
+  return stacked.reshape(new_shape)
+
+
+def _down2_axis(x, k: np.ndarray, pad0: int, pad1: int, axis: int):
+  """FIR + 2x downsample along ``axis``."""
+  T = len(k)
+  L = x.shape[axis]
+  M = (L + pad0 + pad1 - T) // 2 + 1
+  pad_width = [(0, 0)] * x.ndim
+  pad_width[axis] = (pad0, pad1)
+  xp = jnp.pad(x, pad_width)
+
+  acc = None
+  for t in range(T):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(t, t + (M - 1) * 2 + 1, 2)
+    term = float(k[T - 1 - t]) * xp[tuple(idx)]
+    acc = term if acc is None else acc + term
+  return acc
+
+
+def _fir2d(x, k: np.ndarray, pad0: int, pad1: int, mode: str):
+  """Separable 2-D pass over the [H, W, C] block."""
+  f = _up2_axis if mode == "up" else _down2_axis
+  y = f(x, k, pad0, pad1, axis=0)
+  return f(y, k, pad0, pad1, axis=1)
+
+
+def _resample_pallas(x, k1d: np.ndarray, pad0: int, pad1: int, mode: str,
+                     channel_tile: int = 128):
+  """x: [N, H, W, C] -> FIR 2x up/down via a Pallas kernel."""
+  n, h, w, c = x.shape
+  ct = min(c, channel_tile)
+  while c % ct != 0:
+    ct //= 2
+  out_h = 2 * h if mode == "up" else (h + pad0 + pad1 - len(k1d)) // 2 + 1
+  out_w = out_h if h == w else (
+      2 * w if mode == "up" else (w + pad0 + pad1 - len(k1d)) // 2 + 1)
+
+  def kernel(x_ref, o_ref):
+    o_ref[0] = _fir2d(x_ref[0], k1d, pad0, pad1, mode)
+
+  return pl.pallas_call(
+      kernel,
+      grid=(n, c // ct),
+      in_specs=[pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j))],
+      out_specs=pl.BlockSpec((1, out_h, out_w, ct),
+                             lambda i, j: (i, 0, 0, j)),
+      out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, c), x.dtype),
+  )(x)
+
+
+def _setup_1d(k, gain: float) -> np.ndarray:
+  k = np.asarray(k, dtype=np.float64)
+  assert k.ndim == 1, "pallas FIR path requires a separable (1-D) kernel"
+  k = k / np.sum(k)
+  return (k * gain).astype(np.float64)
+
+
+def fir_upsample2_pallas(x, k: Sequence[float], gain: float = 1.0,
+                         interpret: bool = False):
+  """2x FIR upsample, parity with ops.resample.upsample_2d(factor=2).
+
+  upsample_2d applies the 2-D outer-product kernel scaled by
+  gain * factor^2; separably that is (k/sum * sqrt(gain) * factor) per
+  axis.
+  """
+  k1d = _setup_1d(k, math.sqrt(gain) * 2.0)
+  T = len(k1d)
+  p = T - 2
+  pad0, pad1 = (p + 1) // 2 + 1, p // 2
+  if interpret:
+    return _resample_pallas_interpret(x, k1d, pad0, pad1, "up")
+  return _resample_pallas(x, k1d, pad0, pad1, "up")
+
+
+def fir_downsample2_pallas(x, k: Sequence[float], gain: float = 1.0,
+                           interpret: bool = False):
+  """2x FIR downsample, parity with ops.resample.downsample_2d(factor=2)."""
+  k1d = _setup_1d(k, math.sqrt(gain))
+  T = len(k1d)
+  p = T - 2
+  pad0, pad1 = (p + 1) // 2, p // 2
+  if interpret:
+    return _resample_pallas_interpret(x, k1d, pad0, pad1, "down")
+  return _resample_pallas(x, k1d, pad0, pad1, "down")
+
+
+def _resample_pallas_interpret(x, k1d, pad0, pad1, mode):
+  """Interpreter-mode variant for CPU parity tests."""
+  n, h, w, c = x.shape
+  out_h = 2 * h if mode == "up" else (h + pad0 + pad1 - len(k1d)) // 2 + 1
+  out_w = 2 * w if mode == "up" else (w + pad0 + pad1 - len(k1d)) // 2 + 1
+
+  def kernel(x_ref, o_ref):
+    o_ref[0] = _fir2d(x_ref[0], k1d, pad0, pad1, mode)
+
+  return pl.pallas_call(
+      kernel,
+      grid=(n, 1),
+      in_specs=[pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, j))],
+      out_specs=pl.BlockSpec((1, out_h, out_w, c),
+                             lambda i, j: (i, 0, 0, j)),
+      out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, c), x.dtype),
+      interpret=True,
+  )(x)

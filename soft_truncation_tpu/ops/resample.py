@@ -102,10 +102,36 @@ def naive_downsample_2d(x: Array, factor: int = 2) -> Array:
   return jnp.mean(x, axis=(2, 4))
 
 
+import os
+
+_PALLAS_FIR = os.environ.get("SOFT_TRUNCATION_PALLAS_FIR", "1") != "0"
+_PALLAS_VMEM_BUDGET = 2 * 1024 * 1024  # per-block floats budget heuristic
+
+
+def _pallas_fir_ok(x, k) -> bool:
+  if not _PALLAS_FIR:
+    return False
+  k = np.asarray(k)
+  if k.ndim != 1:
+    return False
+  _, h, w, c = x.shape
+  if h * w * min(c, 128) * 4 * 8 > _PALLAS_VMEM_BUDGET * 8:
+    return False
+  from .pallas.fir import pallas_available
+  return pallas_available()
+
+
 def upsample_2d(x: Array, k=None, factor: int = 2, gain: float = 1.0) -> Array:
-  """FIR upsample by ``factor`` (up_or_down_sampling.py:195-224), NHWC."""
+  """FIR upsample by ``factor`` (up_or_down_sampling.py:195-224), NHWC.
+
+  2x separable kernels route to the Pallas polyphase kernel on TPU
+  (ops/pallas/fir.py); everything else uses the dilated-conv form.
+  """
   if k is None:
     k = [1.0] * factor
+  if factor == 2 and _pallas_fir_ok(x, k):
+    from .pallas.fir import fir_upsample2_pallas
+    return fir_upsample2_pallas(x, k, gain=gain)
   k = setup_fir_kernel(k, gain * (factor ** 2))
   p = k.shape[0] - factor
   return upfirdn2d(x, k, up=factor,
@@ -113,9 +139,15 @@ def upsample_2d(x: Array, k=None, factor: int = 2, gain: float = 1.0) -> Array:
 
 
 def downsample_2d(x: Array, k=None, factor: int = 2, gain: float = 1.0) -> Array:
-  """FIR downsample by ``factor`` (up_or_down_sampling.py:227-257), NHWC."""
+  """FIR downsample by ``factor`` (up_or_down_sampling.py:227-257), NHWC.
+
+  2x separable kernels route to the Pallas polyphase kernel on TPU.
+  """
   if k is None:
     k = [1.0] * factor
+  if factor == 2 and _pallas_fir_ok(x, k):
+    from .pallas.fir import fir_downsample2_pallas
+    return fir_downsample2_pallas(x, k, gain=gain)
   k = setup_fir_kernel(k, gain)
   p = k.shape[0] - factor
   return upfirdn2d(x, k, down=factor, pad=((p + 1) // 2, p // 2))

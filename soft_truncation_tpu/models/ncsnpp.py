@@ -72,6 +72,9 @@ class NCSNpp(nn.Module):
   # data convention: if not centered, inputs in [0,1] are mapped to [-1,1]
   centered: bool = True
   dtype: Any = jnp.float32
+  # rematerialize residual blocks (activation checkpointing) — needed to
+  # fit the 1024^2 FFHQ config on one chip (SURVEY.md "hard parts")
+  remat: bool = False
 
   @nn.compact
   def __call__(self, x: Array, time_cond: Array, train: bool = False) -> Array:
@@ -81,12 +84,17 @@ class NCSNpp(nn.Module):
     assert self.embedding_type in ("fourier", "positional")
     num_resolutions = len(self.ch_mult)
 
+    block_cls = (layerspp.ResnetBlockDDPMpp if self.resblock_type == "ddpm"
+                 else layerspp.ResnetBlockBigGANpp)
+    if self.remat:
+      # static_argnums: 0=self, 1=x, 2=temb, 3=train
+      block_cls = nn.remat(block_cls, static_argnums=(3,))
     ResnetBlock = (
-        functools.partial(layerspp.ResnetBlockDDPMpp, act=act,
+        functools.partial(block_cls, act=act,
                           dropout=self.dropout, init_scale=self.init_scale,
                           skip_rescale=self.skip_rescale, dtype=self.dtype)
         if self.resblock_type == "ddpm" else
-        functools.partial(layerspp.ResnetBlockBigGANpp, act=act,
+        functools.partial(block_cls, act=act,
                           dropout=self.dropout, fir=self.fir,
                           fir_kernel=self.fir_kernel,
                           init_scale=self.init_scale,
@@ -137,7 +145,7 @@ class NCSNpp(nn.Module):
       for i_block in range(self.num_res_blocks):
         h = ResnetBlock(out_ch=self.nf * self.ch_mult[i_level],
                         name=f"down_{i_level}_{i_block}")(hs[-1], temb,
-                                                          train=train)
+                                                          train)
         if h.shape[2] in self.attn_resolutions and self.attention:
           h = AttnBlock(name=f"down_attn_{i_level}_{i_block}")(h)
         hs.append(h)
@@ -151,7 +159,7 @@ class NCSNpp(nn.Module):
         elif self.auxiliary_resblock:
           h = ResnetBlock(down=True,
                           name=f"down_{i_level}_ds")(hs[-1], temb,
-                                                     train=train)
+                                                     train)
 
         if self.progressive_input == "input_skip":
           input_pyramid = layerspp.Downsample(
@@ -178,9 +186,9 @@ class NCSNpp(nn.Module):
     h = hs[-1]
     if not self.auxiliary_resblock:
       hs.pop()
-    h = ResnetBlock(name="mid_res0")(h, temb, train=train)
+    h = ResnetBlock(name="mid_res0")(h, temb, train)
     h = AttnBlock(name="mid_attn")(h)
-    h = ResnetBlock(name="mid_res1")(h, temb, train=train)
+    h = ResnetBlock(name="mid_res1")(h, temb, train)
 
     # ---- up path (models/ncsnpp.py:359-417) ------------------------------
     pyramid = None
@@ -190,7 +198,7 @@ class NCSNpp(nn.Module):
       for i_block in range(num_res_up):
         h = ResnetBlock(out_ch=self.nf * self.ch_mult[i_level],
                         name=f"up_{i_level}_{i_block}")(
-            jnp.concatenate([h, hs.pop()], axis=-1), temb, train=train)
+            jnp.concatenate([h, hs.pop()], axis=-1), temb, train)
 
       if h.shape[2] in self.attn_resolutions and self.attention:
         h = AttnBlock(name=f"up_attn_{i_level}")(h)
@@ -237,7 +245,7 @@ class NCSNpp(nn.Module):
                                 name=f"up_{i_level}_us")(h)
         elif self.auxiliary_resblock:
           h = ResnetBlock(up=True, name=f"up_{i_level}_us")(h, temb,
-                                                            train=train)
+                                                            train)
 
     assert not hs
 
@@ -264,12 +272,15 @@ class NCSNpp(nn.Module):
     because the scale/bias params are f32).
     """
     m, d = config.model, config.data
+    tpu_cfg = config.get("tpu")
     dtype = jnp.bfloat16 if (
-        config.get("tpu") is not None
-        and config.tpu.get("compute_dtype", "float32") == "bfloat16"
+        tpu_cfg is not None
+        and tpu_cfg.get("compute_dtype", "float32") == "bfloat16"
     ) else jnp.float32
+    remat = bool(tpu_cfg.get("remat", False)) if tpu_cfg is not None else False
     return cls(
         dtype=dtype,
+        remat=remat,
         nf=m.nf,
         ch_mult=tuple(m.ch_mult),
         num_res_blocks=m.num_res_blocks,

@@ -82,6 +82,10 @@ def train(config, workdir, assetdir=None):
                         out_shardings=(rs, rs), donate_argnums=donate)
   state = jax.device_put(state, rs)
 
+  from .utils.profiling import StepTimer, trace
+  timer = StepTimer(config.training.batch_size)
+  profile_dir = config.tpu.get("profile_dir", None) if "tpu" in config else None
+
   key = jax.random.PRNGKey(config.seed)
   log.info("Starting training loop at step %d.", initial_step)
   for step in range(initial_step, config.training.n_iters + 1):
@@ -93,11 +97,19 @@ def train(config, workdir, assetdir=None):
     batch = shard_batch(mesh, batch)
 
     state, losses = jitted_step(state, batch, k_step)
+    timer.tick()
 
     if step % config.training.log_freq == 0:
       losses_np = np.asarray(losses)
+      sps, ips = timer.report()
       log.info("step: %d, training loss mean: %.5e, training loss std: "
-               "%.5e", step, losses_np.mean(), losses_np.std())
+               "%.5e (%.2f steps/s, %.0f imgs/s)", step, losses_np.mean(),
+               losses_np.std(), sps, ips)
+
+    if profile_dir and step == initial_step + 10:
+      with trace(profile_dir):
+        state, losses = jitted_step(state, batch, k_step)
+        np.asarray(losses)
 
     if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
       ckpt.save_meta(state)

@@ -158,6 +158,47 @@ _CONVERTERS = {
 }
 
 
+def load_reference_checkpoint(path: str, config):
+  """Migration path: load a reference torch checkpoint
+  ({optimizer, model, ema, step}, utils.py:29-36) and return
+  (params, ema_params, step) as Flax pytrees for TrainState.
+
+  Requires torch at call time (CPU-only is fine). EMA shadow params are
+  stored as a flat list in registration order (models/ema.py:28-29),
+  which matches the state_dict parameter order of requires_grad params.
+  """
+  import torch  # local import: torch is optional at runtime
+
+  ckpt = torch.load(path, map_location="cpu", weights_only=False)
+  model_sd = {k: v.numpy() for k, v in ckpt["model"].items()}
+  params = port_ncsnpp_state_dict(model_sd, config)
+
+  ema_params = params
+  ema = ckpt.get("ema")
+  if ema and "shadow_params" in ema:
+    # EMA shadow params are a flat list in parameters() order
+    # (models/ema.py:28-29) == state_dict order minus buffers ('sigmas')
+    # minus requires_grad=False tensors (the GaussianFourier W).
+    shadow = [p.numpy() for p in ema["shadow_params"]]
+    ema_sd = dict(model_sd)
+    si = 0
+    for k, v in ckpt["model"].items():
+      if k.endswith("sigmas"):
+        continue  # registered buffer, not a parameter
+      if (k.endswith("all_modules.0.W")
+          and config.model.embedding_type == "fourier"):
+        continue  # frozen Fourier W: absent from shadow_params
+      assert si < len(shadow) and tuple(shadow[si].shape) == tuple(v.shape), (
+          f"EMA shadow mismatch at {k}")
+      ema_sd[k] = shadow[si]
+      si += 1
+    assert si == len(shadow), (si, len(shadow))
+    ema_params = port_ncsnpp_state_dict(ema_sd, config)
+
+  step = int(ckpt.get("step", 0))
+  return params, ema_params, step
+
+
 def port_ncsnpp_state_dict(state_dict: Dict[str, np.ndarray],
                            config) -> Dict[str, Any]:
   """torch state_dict (numpy values; 'module.'/'all_modules.' keys ok) ->

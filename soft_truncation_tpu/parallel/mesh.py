@@ -24,31 +24,43 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def make_mesh(mesh_shape: Sequence[int] = (),
               devices: Optional[Sequence] = None) -> Mesh:
-  """Build the device mesh. Default: every device on one 'data' axis."""
+  """Build the device mesh.
+
+  Default: every device on one 'data' axis. A 2-D mesh ``(d, s)`` adds a
+  'space' axis for spatial sharding of high-resolution activations
+  (convs get GSPMD halo exchanges automatically) — the image-model
+  analogue of sequence parallelism (SURVEY.md section 2.3).
+  """
   devices = list(devices if devices is not None else jax.devices())
   if not mesh_shape:
     mesh_shape = (len(devices),)
   assert int(np.prod(mesh_shape)) == len(devices), (
       f"mesh {mesh_shape} != {len(devices)} devices")
   arr = np.asarray(devices).reshape(mesh_shape)
-  axis_names = (DATA_AXIS,) + tuple(
-      f"model{i}" for i in range(1, len(mesh_shape)))
-  return Mesh(arr, axis_names)
+  axis_names = (DATA_AXIS, SPACE_AXIS)[:len(mesh_shape)]
+  if len(mesh_shape) > 2:
+    axis_names = axis_names + tuple(
+        f"model{i}" for i in range(2, len(mesh_shape)))
+  return Mesh(arr, tuple(axis_names))
 
 
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
   return NamedSharding(mesh, P())
 
 
-def batch_sharding(mesh: Mesh) -> NamedSharding:
-  """Shard the leading (batch) dim over the data axis."""
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+  """Shard the leading (batch) dim over 'data'; with ``spatial`` (2-D mesh)
+  also shard image height over 'space'."""
+  if spatial and SPACE_AXIS in mesh.axis_names:
+    return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
   return NamedSharding(mesh, P(DATA_AXIS))
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, spatial: bool = False):
   """Place a host array as a batch-sharded device array."""
-  return jax.device_put(batch, batch_sharding(mesh))
+  return jax.device_put(batch, batch_sharding(mesh, spatial=spatial))

@@ -40,8 +40,11 @@ def main():
 
   config = _flagship_config()
   config.training.batch_size = BATCH
-  if config.tpu.compute_dtype == "bfloat16":
-    pass  # model dtype override hook (future)
+  # TPU-native production configuration: bf16 MXU compute (params/norms
+  # stay f32) and the fast hardware PRNG for dropout masks. f32+threefry
+  # ("reference-exact" mode) measures ~1255 imgs/s on a v5e chip.
+  config.tpu.compute_dtype = "bfloat16"
+  jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
   sde = get_sde(config)
   model = create_model(config)

@@ -126,6 +126,10 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       compute_dtype="float32",  # 'bfloat16' for speed on TPU
       remat=False,              # jax.checkpoint the resblocks (1024^2 runs)
       donate_state=True,
+      # 'unsafe_rbg' makes dropout-mask generation ~25% of step time
+      # cheaper than threefry on TPU; streams are not bit-reproducible
+      # across backends but statistically sound.
+      rng_impl="threefry2x32",
   ))
   return config
 

@@ -126,7 +126,7 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
 
 def compute_bpd(config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn,
                 model, params, step: int = 0, eval: bool = False,
-                key=None) -> dict:
+                key=None, report_dir: Optional[str] = None) -> dict:
   """NELBO + exact-NLL evaluation loops (reference evaluation.py:377-464).
 
   Runs config.eval.nelbo_iter batches of the single-sample NELBO and
@@ -198,4 +198,8 @@ def compute_bpd(config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn,
       results["nll_bpd_std"] = float(np.std(vals))
 
   log.info("step %d bpd results: %s", step, results)
+  if report_dir and results:
+    os.makedirs(report_dir, exist_ok=True)
+    np.savez_compressed(os.path.join(report_dir, f"bpd_{step}.npz"),
+                        **results)  # (reference save.py:59-67 equivalent)
   return results

@@ -35,6 +35,9 @@ log = logging.getLogger(__name__)
 
 def _build_everything(config, workdir):
   """Shared setup for train/eval: sde, model, state, fns, checkpoints."""
+  rng_impl = config.tpu.get("rng_impl", None) if "tpu" in config else None
+  if rng_impl:
+    jax.config.update("jax_default_prng_impl", rng_impl)
   sde = get_sde(config)
   model = create_model(config)
   tx = get_optimizer(config)

@@ -91,19 +91,37 @@ def _up2_axis(x, k: np.ndarray, pad0: int, pad1: int, axis: int):
 
 
 def _down2_axis(x, k: np.ndarray, pad0: int, pad1: int, axis: int):
-  """FIR + 2x downsample along ``axis``."""
+  """FIR + 2x downsample along ``axis``.
+
+  Mosaic cannot lower stride-2 slices on non-lane axes, so the padded
+  signal is reshaped into even/odd phases and every tap becomes a
+  CONTIGUOUS slice: x_padded[2j + t] == phase[t%2][j + t//2].
+  """
   T = len(k)
   L = x.shape[axis]
   M = (L + pad0 + pad1 - T) // 2 + 1
   pad_width = [(0, 0)] * x.ndim
-  pad_width[axis] = (pad0, pad1)
+  # extra trailing pad so the phase reshape length covers j + t//2 and is
+  # even; padded tail values are never read by valid taps
+  extra = (2 * M + T) - (L + pad0 + pad1)
+  extra += (L + pad0 + pad1 + extra) % 2
+  pad_width[axis] = (pad0, pad1 + max(extra, 0))
   xp = jnp.pad(x, pad_width)
+  lp = xp.shape[axis]
+
+  shape = list(xp.shape)
+  shape[axis:axis + 1] = [lp // 2, 2]
+  ph = xp.reshape(shape)
+
+  def phase_slice(parity, start, n):
+    idx = [slice(None)] * ph.ndim
+    idx[axis] = slice(start, start + n)
+    idx[axis + 1] = parity
+    return ph[tuple(idx)]
 
   acc = None
   for t in range(T):
-    idx = [slice(None)] * x.ndim
-    idx[axis] = slice(t, t + (M - 1) * 2 + 1, 2)
-    term = float(k[T - 1 - t]) * xp[tuple(idx)]
+    term = float(k[T - 1 - t]) * phase_slice(t % 2, t // 2, M)
     acc = term if acc is None else acc + term
   return acc
 
@@ -146,33 +164,85 @@ def _setup_1d(k, gain: float) -> np.ndarray:
   return (k * gain).astype(np.float64)
 
 
+def _lax_equivalent(x, k: Tuple[float, ...], gain: float, mode: str):
+  """The dilated-conv formulation with identical semantics — used as the
+  linear-transpose source for the custom VJP (upfirdn is linear in x, so
+  the exact adjoint comes from jax.linear_transpose; lowered by XLA to a
+  transposed conv)."""
+  from ..resample import setup_fir_kernel, upfirdn2d
+  if mode == "up":
+    k2 = setup_fir_kernel(np.asarray(k), gain * 4)
+    p = k2.shape[0] - 2
+    return upfirdn2d(x, k2, up=2, pad=((p + 1) // 2 + 1, p // 2))
+  k2 = setup_fir_kernel(np.asarray(k), gain)
+  p = k2.shape[0] - 2
+  return upfirdn2d(x, k2, down=2, pad=((p + 1) // 2, p // 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _fir2_op(x, k: Tuple[float, ...], gain: float, mode: str):
+  axis_gain = math.sqrt(gain) * (2.0 if mode == "up" else 1.0)
+  k1d = _setup_1d(k, axis_gain)
+  T = len(k1d)
+  p = T - 2
+  if mode == "up":
+    pad0, pad1 = (p + 1) // 2 + 1, p // 2
+  else:
+    pad0, pad1 = (p + 1) // 2, p // 2
+  return _resample_pallas(x, k1d, pad0, pad1, mode)
+
+
+def _fir2_fwd(x, k, gain, mode):
+  return _fir2_op(x, k, gain, mode), None
+
+
+def _fir2_bwd(k, gain, mode, res, ybar):
+  del res  # input shape is recoverable from the cotangent
+  n, mh, mw, c = ybar.shape
+  if mode == "up":
+    shape = (n, mh // 2, mw // 2, c)
+  else:
+    T = len(k)
+    pad_sum = (T - 1) // 2 + (T - 2) // 2  # == T - 2 for even T
+    # invert M = (L + pad_sum - T)//2 + 1  ->  L = 2M - 2 + T - pad_sum
+    shape = (n, 2 * mh - 2 + T - pad_sum, 2 * mw - 2 + T - pad_sum, c)
+  transpose = jax.linear_transpose(
+      lambda x_: _lax_equivalent(x_, k, gain, mode),
+      jax.ShapeDtypeStruct(shape, ybar.dtype))
+  (xbar,) = transpose(ybar)
+  return (xbar,)
+
+
+_fir2_op.defvjp(_fir2_fwd, _fir2_bwd)
+
+
 def fir_upsample2_pallas(x, k: Sequence[float], gain: float = 1.0,
                          interpret: bool = False):
   """2x FIR upsample, parity with ops.resample.upsample_2d(factor=2).
 
   upsample_2d applies the 2-D outer-product kernel scaled by
   gain * factor^2; separably that is (k/sum * sqrt(gain) * factor) per
-  axis.
+  axis. Differentiable (custom VJP; exact adjoint).
   """
-  k1d = _setup_1d(k, math.sqrt(gain) * 2.0)
-  T = len(k1d)
-  p = T - 2
-  pad0, pad1 = (p + 1) // 2 + 1, p // 2
   if interpret:
-    return _resample_pallas_interpret(x, k1d, pad0, pad1, "up")
-  return _resample_pallas(x, k1d, pad0, pad1, "up")
+    k1d = _setup_1d(k, math.sqrt(gain) * 2.0)
+    T = len(k1d)
+    p = T - 2
+    return _resample_pallas_interpret(x, k1d, (p + 1) // 2 + 1, p // 2,
+                                      "up")
+  return _fir2_op(x, tuple(float(v) for v in k), float(gain), "up")
 
 
 def fir_downsample2_pallas(x, k: Sequence[float], gain: float = 1.0,
                            interpret: bool = False):
-  """2x FIR downsample, parity with ops.resample.downsample_2d(factor=2)."""
-  k1d = _setup_1d(k, math.sqrt(gain))
-  T = len(k1d)
-  p = T - 2
-  pad0, pad1 = (p + 1) // 2, p // 2
+  """2x FIR downsample, parity with ops.resample.downsample_2d(factor=2).
+  Differentiable (custom VJP; exact adjoint)."""
   if interpret:
-    return _resample_pallas_interpret(x, k1d, pad0, pad1, "down")
-  return _resample_pallas(x, k1d, pad0, pad1, "down")
+    k1d = _setup_1d(k, math.sqrt(gain))
+    T = len(k1d)
+    p = T - 2
+    return _resample_pallas_interpret(x, k1d, (p + 1) // 2, p // 2, "down")
+  return _fir2_op(x, tuple(float(v) for v in k), float(gain), "down")
 
 
 def _resample_pallas_interpret(x, k1d, pad0, pad1, mode):

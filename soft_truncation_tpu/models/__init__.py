@@ -1,6 +1,7 @@
 from .registry import register_model, get_model, create_model
 from .score import get_model_fn, get_score_fn
 from .ema import ema_update
+from .params import get_sigmas, get_ddpm_params
 
 # import for registration side effects
 from . import ncsnpp  # noqa: F401

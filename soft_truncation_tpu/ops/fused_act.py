@@ -44,3 +44,28 @@ def fused_leaky_relu(x: Array, bias: Array | None = None,
   """Drop-in equivalent of reference op/fused_act.py:86-94 (NHWC bias)."""
   return fused_bias_act(x, bias, act="lrelu", negative_slope=negative_slope,
                         scale=scale)
+
+
+class FusedLeakyReLU:
+  """Module form with a learnable bias (reference op/fused_act.py:74-83).
+
+  Flax version for completeness — the model zoo doesn't use it (it's a
+  StyleGAN2 leftover in the reference too), but the fused pattern is the
+  named primitive above.
+  """
+
+  def __new__(cls, channels: int, negative_slope: float = 0.2,
+              scale: float = 2.0 ** 0.5):
+    import flax.linen as nn
+
+    class _FusedLeakyReLU(nn.Module):
+      channels: int
+      negative_slope: float
+      scale: float
+
+      @nn.compact
+      def __call__(self, x: Array) -> Array:
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return fused_leaky_relu(x, bias, self.negative_slope, self.scale)
+
+    return _FusedLeakyReLU(channels, negative_slope, scale)

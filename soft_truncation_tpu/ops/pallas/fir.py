@@ -127,33 +127,46 @@ def _down2_axis(x, k: np.ndarray, pad0: int, pad1: int, axis: int):
 
 
 def _fir2d(x, k: np.ndarray, pad0: int, pad1: int, mode: str):
-  """Separable 2-D pass over the [H, W, C] block."""
+  """Separable 2-D pass over a [..., H, W, C] block."""
   f = _up2_axis if mode == "up" else _down2_axis
-  y = f(x, k, pad0, pad1, axis=0)
-  return f(y, k, pad0, pad1, axis=1)
+  h_axis = x.ndim - 3
+  y = f(x, k, pad0, pad1, axis=h_axis)
+  return f(y, k, pad0, pad1, axis=h_axis + 1)
 
 
 def _resample_pallas(x, k1d: np.ndarray, pad0: int, pad1: int, mode: str,
-                     channel_tile: int = 128):
-  """x: [N, H, W, C] -> FIR 2x up/down via a Pallas kernel."""
+                     channel_tile: int = 128,
+                     vmem_budget: int = 4 * 1024 * 1024,
+                     interpret: bool = False):
+  """x: [N, H, W, C] -> FIR 2x up/down via a Pallas kernel.
+
+  Grid: (batch-tiles, channel-tiles); the batch tile is sized so the
+  in+out blocks fit the VMEM budget — bigger blocks amortize per-program
+  overhead (matters when the op sits inside a large fused train graph).
+  """
   n, h, w, c = x.shape
   ct = min(c, channel_tile)
   while c % ct != 0:
     ct //= 2
   out_h = 2 * h if mode == "up" else (h + pad0 + pad1 - len(k1d)) // 2 + 1
-  out_w = out_h if h == w else (
-      2 * w if mode == "up" else (w + pad0 + pad1 - len(k1d)) // 2 + 1)
+  out_w = 2 * w if mode == "up" else (w + pad0 + pad1 - len(k1d)) // 2 + 1
+
+  bytes_per_item = (h * w + out_h * out_w) * ct * x.dtype.itemsize * 2
+  bt = max(1, min(n, vmem_budget // max(bytes_per_item, 1)))
+  while n % bt != 0:
+    bt -= 1
 
   def kernel(x_ref, o_ref):
-    o_ref[0] = _fir2d(x_ref[0], k1d, pad0, pad1, mode)
+    o_ref[...] = _fir2d(x_ref[...], k1d, pad0, pad1, mode)
 
   return pl.pallas_call(
       kernel,
-      grid=(n, c // ct),
-      in_specs=[pl.BlockSpec((1, h, w, ct), lambda i, j: (i, 0, 0, j))],
-      out_specs=pl.BlockSpec((1, out_h, out_w, ct),
+      grid=(n // bt, c // ct),
+      in_specs=[pl.BlockSpec((bt, h, w, ct), lambda i, j: (i, 0, 0, j))],
+      out_specs=pl.BlockSpec((bt, out_h, out_w, ct),
                              lambda i, j: (i, 0, 0, j)),
       out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, c), x.dtype),
+      interpret=interpret,
   )(x)
 
 
@@ -247,19 +260,4 @@ def fir_downsample2_pallas(x, k: Sequence[float], gain: float = 1.0,
 
 def _resample_pallas_interpret(x, k1d, pad0, pad1, mode):
   """Interpreter-mode variant for CPU parity tests."""
-  n, h, w, c = x.shape
-  out_h = 2 * h if mode == "up" else (h + pad0 + pad1 - len(k1d)) // 2 + 1
-  out_w = 2 * w if mode == "up" else (w + pad0 + pad1 - len(k1d)) // 2 + 1
-
-  def kernel(x_ref, o_ref):
-    o_ref[0] = _fir2d(x_ref[0], k1d, pad0, pad1, mode)
-
-  return pl.pallas_call(
-      kernel,
-      grid=(n, 1),
-      in_specs=[pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, j))],
-      out_specs=pl.BlockSpec((1, out_h, out_w, c),
-                             lambda i, j: (i, 0, 0, j)),
-      out_shape=jax.ShapeDtypeStruct((n, out_h, out_w, c), x.dtype),
-      interpret=True,
-  )(x)
+  return _resample_pallas(x, k1d, pad0, pad1, mode, interpret=True)

@@ -104,7 +104,13 @@ def naive_downsample_2d(x: Array, factor: int = 2) -> Array:
 
 import os
 
-_PALLAS_FIR = os.environ.get("SOFT_TRUNCATION_PALLAS_FIR", "1") != "0"
+# Pallas FIR kernels win standalone on a v5e (down2 3.2x, up2 1.25x vs the
+# dilated-conv form) but LOSE inside the fused train graph (uncsnpp train
+# step: 1356 vs 1842 imgs/s) — pallas_call is a fusion barrier and the
+# custom-VJP backward currently runs the conv path. Until the backward is
+# a Pallas kernel and Mosaic fuses neighbors, the default inside models is
+# the XLA path; set SOFT_TRUNCATION_PALLAS_FIR=1 to opt in.
+_PALLAS_FIR = os.environ.get("SOFT_TRUNCATION_PALLAS_FIR", "0") == "1"
 _PALLAS_VMEM_BUDGET = 2 * 1024 * 1024  # per-block floats budget heuristic
 
 

@@ -511,6 +511,15 @@ def get_sde(config) -> SDE:
                            sigma_max=config.model.sigma_max,
                            N=config.model.num_scales,
                            eta=config.training.eta)
+  if name == "rve-sde":
+    # legacy flat ve/*_uncsn.py configs use this spelling with
+    # config.uncsn.eta; the reference's own get_sde rejects it
+    # (sde_lib.py:433-443 has no such branch), so those configs are
+    # unrunnable there — honored here.
+    return ReciprocalVESDE(sigma_min=config.model.sigma_min,
+                           sigma_max=config.model.sigma_max,
+                           N=config.model.num_scales,
+                           eta=config.uncsn.eta)
   raise NotImplementedError(f"SDE {config.training.sde} unknown.")
 
 

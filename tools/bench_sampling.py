@@ -1,0 +1,64 @@
+"""Sampling throughput benchmark: PC sampler (UNCSN++ config, N=1000,
+langevin corrector => 2000 NFE/sample-batch) on the real TPU.
+
+Projects FID-50k sampling wall-clock (BASELINE.md metric). Run standalone:
+  python tools/bench_sampling.py [batch]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+  batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "c", "soft_truncation_tpu/configs/ve/CIFAR10/uncsnpp_st.py")
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  config = mod.get_config()
+  config.sampling.batch_size = batch
+  config.tpu.compute_dtype = "bfloat16"
+  jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+  from soft_truncation_tpu.data import get_data_inverse_scaler
+  from soft_truncation_tpu.models import create_model
+  from soft_truncation_tpu.sample import get_sampling_fn
+  from soft_truncation_tpu.sde import get_sde
+  from soft_truncation_tpu.train import init_train_state
+  from soft_truncation_tpu.losses import get_optimizer
+
+  sde = get_sde(config)
+  model = create_model(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model,
+                           get_optimizer(config))
+  shape = (batch, 32, 32, 3)
+  sampler = jax.jit(
+      get_sampling_fn(config, sde, shape, get_data_inverse_scaler(config),
+                      config.sampling.truncation_time),
+      static_argnums=0)
+
+  t0 = time.perf_counter()
+  samples, nfe = sampler(model, state.params, jax.random.PRNGKey(1))
+  float(samples.mean())
+  compile_time = time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  samples, nfe = sampler(model, state.params, jax.random.PRNGKey(2))
+  float(samples.mean())
+  dt = time.perf_counter() - t0
+
+  per_50k = dt * (50000 / batch)
+  print(f"pc sampler (N={sde.N}, nfe={int(nfe)}): compile {compile_time:.0f}s,"
+        f" {dt:.1f}s/batch{batch} -> {batch/dt:.1f} imgs/s"
+        f" -> FID-50k sampling in {per_50k/60:.1f} min on one chip")
+
+
+if __name__ == "__main__":
+  main()

@@ -114,7 +114,10 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
   if all_probs:
     probs = np.concatenate(all_probs)[:num_data]
     metrics["inception_score"] = inception_score_from_probs(probs)
-  if config.data.dataset in ("CIFAR10", "IMAGENET32") and real_feats is not None:
+  # KID needs raw real features (not just moments); when stats came from
+  # an assetdir npz that carries them, use them (cleanfid-style KID via
+  # eval.cleanfid_api.compute_kid is available for folder-vs-folder runs)
+  if real_feats is not None:
     metrics["kid"] = kernel_distance(real_feats, feats)
 
   dir_name = sampling_io.get_dir_name(config, sample_dir, step)

@@ -128,6 +128,31 @@ def test_checkpoint_roundtrip():
     assert int(again.step) == int(state.step)
 
 
+def test_training_reduces_loss():
+  """150 steps on a fixed synthetic dataset must reduce the score loss.
+  The IS-weighted objective is high-variance across sampled diffusion
+  times, so compare 25-step window means and require a clear (>6%) drop."""
+  config = tiny_train_config(st=False)
+  config.optim.num_micro_batch = 1
+  config.optim.warmup = 50
+  _, _, _, state, step_fn = build(config)
+  jitted = jax.jit(step_fn, donate_argnums=0)
+  data = jax.random.uniform(jax.random.PRNGKey(7), (64, 8, 8, 3)) * 2 - 1
+  key = jax.random.PRNGKey(8)
+  first, last = [], []
+  for i in range(150):
+    key, kb, ks = jax.random.split(key, 3)
+    idx = jax.random.randint(kb, (16,), 0, 64)
+    state, losses = jitted(state, data[idx], ks)
+    m = float(jnp.mean(losses))
+    if i < 25:
+      first.append(m)
+    if i >= 125:
+      last.append(m)
+  assert np.mean(last) < 0.94 * np.mean(first), (np.mean(first),
+                                                 np.mean(last))
+
+
 def test_lr_warmup_schedule():
   from soft_truncation_tpu.losses import lr_schedule
   config = tiny_train_config()

@@ -141,6 +141,14 @@ def compute_bpd(config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn,
   truncation_time = config.training.truncation_time
   results = {}
 
+  # jit once, reuse across batches (the ODE while_loop would otherwise
+  # re-trace per call); model is static via closure
+  nelbo_jit = jax.jit(lambda p, b, k: nelbo_fn(model, p, b, k,
+                                               eps=truncation_time))
+  mode_ = "correct" if config.eval.residual else "wrong"
+  nll_jit = jax.jit(lambda p, b, k: nll_fn(model, p, b, k,
+                                           eps=truncation_time, mode=mode_))
+
   def batches():
     it = iter(eval_ds.as_numpy_iterator())
     while True:
@@ -163,8 +171,7 @@ def compute_bpd(config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn,
       if config.data.dequantization == "uniform":
         batch = (255.0 * batch + jax.random.uniform(k_dq, batch.shape)) / 256.
       batch = scaler(batch)
-      nelbo, residual = nelbo_fn(model, params, batch, k_e,
-                                 eps=truncation_time)
+      nelbo, residual = nelbo_jit(params, batch, k_e)
       total = np.asarray(nelbo) + (np.asarray(residual)
                                    if config.eval.residual else 0.0)
       vals.append(total)
@@ -179,7 +186,6 @@ def compute_bpd(config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn,
   if config.eval.nll_iter > 0:
     vals = []
     gen = batches()
-    mode = "correct" if config.eval.residual else "wrong"
     for i in range(config.eval.nll_iter):
       try:
         batch = next(gen)
@@ -189,8 +195,7 @@ def compute_bpd(config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn,
       if config.data.dequantization == "uniform":
         batch = (255.0 * batch + jax.random.uniform(k_dq, batch.shape)) / 256.
       batch = scaler(batch)
-      bpd, z, nfe = nll_fn(model, params, batch, k_n,
-                           eps=truncation_time, mode=mode)
+      bpd, z, nfe = nll_jit(params, batch, k_n)
       vals.append(np.asarray(bpd))
       log.info("step %d nll batch %d: mean %.5f std %.5f (nfe %s)", step, i,
                np.mean(np.concatenate(vals)),

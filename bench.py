@@ -44,6 +44,7 @@ def main():
   # stay f32) and the fast hardware PRNG for dropout masks. f32+threefry
   # ("reference-exact" mode) measures ~1255 imgs/s on a v5e chip.
   config.tpu.compute_dtype = "bfloat16"
+  config.tpu.norm_dtype = "bfloat16"
   jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
   sde = get_sde(config)

@@ -130,6 +130,9 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # cheaper than threefry on TPU; streams are not bit-reproducible
       # across backends but statistically sound.
       rng_impl="threefry2x32",
+      # 'bfloat16' runs GroupNorm statistics in bf16 too (+~9% step time);
+      # default keeps norms in f32
+      norm_dtype="float32",
   ))
   return config
 

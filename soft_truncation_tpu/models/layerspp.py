@@ -65,6 +65,7 @@ class Combine(nn.Module):
 
   method: str = "cat"
   dtype: Dtype = jnp.float32
+  norm_dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, y: Array) -> Array:
@@ -83,11 +84,12 @@ class AttnBlockpp(nn.Module):
   skip_rescale: bool = False
   init_scale: float = 0.0
   dtype: Dtype = jnp.float32
+  norm_dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
     c = x.shape[-1]
-    h = nn.GroupNorm(num_groups=_groups(c), epsilon=1e-6, name="norm")(x)
+    h = nn.GroupNorm(num_groups=_groups(c), epsilon=1e-6, dtype=self.norm_dtype, name="norm")(x)
     q = NIN(c, dtype=self.dtype, name="q")(h)
     k = NIN(c, dtype=self.dtype, name="k")(h)
     v = NIN(c, dtype=self.dtype, name="v")(h)
@@ -110,6 +112,7 @@ class ConvResample(nn.Module):
   fir_kernel: Sequence[float] = (1, 3, 3, 1)
   use_bias: bool = True
   dtype: Dtype = jnp.float32
+  norm_dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -143,6 +146,7 @@ class Upsample(nn.Module):
   fir: bool = False
   fir_kernel: Sequence[float] = (1, 3, 3, 1)
   dtype: Dtype = jnp.float32
+  norm_dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -170,6 +174,7 @@ class Downsample(nn.Module):
   fir: bool = False
   fir_kernel: Sequence[float] = (1, 3, 3, 1)
   dtype: Dtype = jnp.float32
+  norm_dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -201,6 +206,7 @@ class ResnetBlockDDPMpp(nn.Module):
   skip_rescale: bool = False
   init_scale: float = 0.0
   dtype: Dtype = jnp.float32
+  norm_dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -208,14 +214,14 @@ class ResnetBlockDDPMpp(nn.Module):
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
     h = self.act(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6,
-                              name="norm0")(x))
+                              dtype=self.norm_dtype, name="norm0")(x))
     h = DDPMConv(out_ch, 3, dtype=self.dtype, name="conv0")(h)
     if temb is not None:
       h = h + nn.Dense(out_ch, kernel_init=default_init(),
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
                        name="temb_proj")(self.act(temb))[:, None, None, :]
     h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
-                              name="norm1")(h))
+                              dtype=self.norm_dtype, name="norm1")(h))
     h = nn.Dropout(self.dropout, deterministic=not train)(h)
     h = DDPMConv(out_ch, 3, init_scale=self.init_scale, dtype=self.dtype,
                  name="conv1")(h)
@@ -243,6 +249,7 @@ class ResnetBlockBigGANpp(nn.Module):
   skip_rescale: bool = True
   init_scale: float = 0.0
   dtype: Dtype = jnp.float32
+  norm_dtype: Dtype = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -250,7 +257,7 @@ class ResnetBlockBigGANpp(nn.Module):
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
     h = self.act(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6,
-                              name="norm0")(x))
+                              dtype=self.norm_dtype, name="norm0")(x))
 
     if self.up:
       if self.fir:
@@ -273,7 +280,7 @@ class ResnetBlockBigGANpp(nn.Module):
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
                        name="temb_proj")(self.act(temb))[:, None, None, :]
     h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
-                              name="norm1")(h))
+                              dtype=self.norm_dtype, name="norm1")(h))
     h = nn.Dropout(self.dropout, deterministic=not train)(h)
     h = DDPMConv(out_ch, 3, init_scale=self.init_scale, dtype=self.dtype,
                  name="conv1")(h)

@@ -75,6 +75,9 @@ class NCSNpp(nn.Module):
   # rematerialize residual blocks (activation checkpointing) — needed to
   # fit the 1024^2 FFHQ config on one chip (SURVEY.md "hard parts")
   remat: bool = False
+  # GroupNorm compute dtype: f32 by default (scale/bias params are f32 so
+  # flax promotes); bf16 trades ~0 quality margin for ~9%% step time
+  norm_dtype: Any = jnp.float32
 
   @nn.compact
   def __call__(self, x: Array, time_cond: Array, train: bool = False) -> Array:
@@ -92,17 +95,20 @@ class NCSNpp(nn.Module):
     ResnetBlock = (
         functools.partial(block_cls, act=act,
                           dropout=self.dropout, init_scale=self.init_scale,
-                          skip_rescale=self.skip_rescale, dtype=self.dtype)
+                          skip_rescale=self.skip_rescale, dtype=self.dtype,
+                          norm_dtype=self.norm_dtype)
         if self.resblock_type == "ddpm" else
         functools.partial(block_cls, act=act,
                           dropout=self.dropout, fir=self.fir,
                           fir_kernel=self.fir_kernel,
                           init_scale=self.init_scale,
-                          skip_rescale=self.skip_rescale, dtype=self.dtype))
+                          skip_rescale=self.skip_rescale, dtype=self.dtype,
+                          norm_dtype=self.norm_dtype))
     AttnBlock = functools.partial(layerspp.AttnBlockpp,
                                   init_scale=self.init_scale,
                                   skip_rescale=self.skip_rescale,
-                                  dtype=self.dtype)
+                                  dtype=self.dtype,
+                                  norm_dtype=self.norm_dtype)
 
     # ---- time embedding (models/ncsnpp.py:258-294) ----------------------
     if self.embedding_type == "fourier":
@@ -278,9 +284,14 @@ class NCSNpp(nn.Module):
         and tpu_cfg.get("compute_dtype", "float32") == "bfloat16"
     ) else jnp.float32
     remat = bool(tpu_cfg.get("remat", False)) if tpu_cfg is not None else False
+    norm_dtype = jnp.bfloat16 if (
+        tpu_cfg is not None
+        and tpu_cfg.get("norm_dtype", "float32") == "bfloat16"
+    ) else jnp.float32
     return cls(
         dtype=dtype,
         remat=remat,
+        norm_dtype=norm_dtype,
         nf=m.nf,
         ch_mult=tuple(m.ch_mult),
         num_res_blocks=m.num_res_blocks,

@@ -38,8 +38,8 @@ def get_config():
       ),
       'model': dict(
           attention_type='ddpm',
-          attn_resolutions=[16],
-          ch_mult=[1, 2, 4, 8, 16, 32, 32, 32],
+          attn_resolutions=(16,),
+          ch_mult=(1, 2, 4, 8, 16, 32, 32, 32),
           conditional=True,
           conv_size=3,
           dropout=0.0,

@@ -26,8 +26,8 @@ def get_config():
       ),
       'model': dict(
           attention_type='ddpm',
-          attn_resolutions=[16],
-          ch_mult=[1, 1, 1],
+          attn_resolutions=(16,),
+          ch_mult=(1, 1, 1),
           conditional=True,
           conv_size=3,
           dropout=0.2,

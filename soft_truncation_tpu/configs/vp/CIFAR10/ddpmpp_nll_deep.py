@@ -24,8 +24,8 @@ def get_config():
       ),
       'model': dict(
           attention_type='ddpm',
-          attn_resolutions=[16],
-          ch_mult=[1, 2, 2, 2],
+          attn_resolutions=(16,),
+          ch_mult=(1, 2, 2, 2),
           conditional=True,
           conv_size=3,
           ema_rate=0.9999,

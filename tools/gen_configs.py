@@ -58,7 +58,13 @@ def to_plain(cfg):
   return d
 
 
-def fmt(v):
+_TUPLE_KEYS = {"ch_mult", "attn_resolutions"}  # tuples in the reference
+# (fir_kernel is a list there; types preserved so CLI flag overrides work)
+
+
+def fmt(v, key=None):
+  if key in _TUPLE_KEYS and isinstance(v, list):
+    return repr(tuple(v))
   return repr(v)
 
 
@@ -112,7 +118,7 @@ def main():
           continue
         lines.append(f"      {sec!r}: dict(")
         for k, v in vals.items():
-          lines.append(f"          {k}={fmt(v)},")
+          lines.append(f"          {k}={fmt(v, k)},")
         lines.append("      ),")
       lines += ["  })", ""]
 

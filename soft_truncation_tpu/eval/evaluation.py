@@ -27,7 +27,15 @@ log = logging.getLogger(__name__)
 
 
 def load_dataset_stats(config, assetdir: str, mode: str = "clean"):
-  """Pre-computed dataset (mu, sigma) npz (reference evaluation.py:54-71)."""
+  """Pre-computed dataset statistics (reference evaluation.py:54-71).
+
+  Returns ``(mu, cov, real_feats)``. The reference ecosystem's assetdir
+  npz files carry the raw Inception ``pool_3`` activations (used directly
+  by tfgan FID/KID, reference evaluation.py:303-320); the rebuild's own
+  stat caches carry precomputed ``{mu, cov}`` moments. Both formats load:
+  moments are computed from ``pool_3`` when absent, and ``real_feats`` is
+  the raw feature matrix when available (required for KID) else None.
+  """
   names = {
       "CIFAR10": "cifar10_stats.npz",
       "IMAGENET32": "imagenet32_stats.npz",
@@ -43,7 +51,22 @@ def load_dataset_stats(config, assetdir: str, mode: str = "clean"):
   if filename is None:
     raise ValueError(f"Dataset {config.data.dataset} stats not found.")
   path = os.path.join(assetdir, filename)
-  return np.load(path)
+  with np.load(path) as stats:
+    real_feats = None
+    if "pool_3" in stats:
+      real_feats = np.asarray(stats["pool_3"])
+      if real_feats.ndim > 2:  # tfgan dumps can be [N, 1, 1, D]
+        real_feats = real_feats.reshape(real_feats.shape[0], -1)
+    if "mu" in stats:
+      mu = np.asarray(stats["mu"])
+      cov = np.asarray(stats["cov"] if "cov" in stats else stats["sigma"])
+    elif real_feats is not None:
+      mu, cov = compute_stats(real_feats)
+    else:
+      raise KeyError(
+          f"{path} has neither (mu, cov|sigma) moments nor raw pool_3 "
+          f"features; keys: {sorted(stats.files)}")
+  return mu, cov, real_feats
 
 
 def compute_dataset_stats(config, ds, extractor, num_data: int,
@@ -100,8 +123,7 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
   try:
     if assetdir is None:
       raise FileNotFoundError("no assetdir given")
-    stats = load_dataset_stats(config, assetdir)
-    mu_ref, cov_ref = stats["mu"], stats["cov"]
+    mu_ref, cov_ref, real_feats = load_dataset_stats(config, assetdir)
   except (FileNotFoundError, ValueError, KeyError):
     assert eval_ds is not None, (
         "no precomputed stats and no eval dataset to stream")
@@ -114,9 +136,9 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
   if all_probs:
     probs = np.concatenate(all_probs)[:num_data]
     metrics["inception_score"] = inception_score_from_probs(probs)
-  # KID needs raw real features (not just moments); when stats came from
-  # an assetdir npz that carries them, use them (cleanfid-style KID via
-  # eval.cleanfid_api.compute_kid is available for folder-vs-folder runs)
+  # KID needs raw real features, not just moments; available whenever the
+  # assetdir npz carries pool_3 activations, as the reference ecosystem's
+  # stat files do (reference evaluation.py:303,319-320).
   if real_feats is not None:
     metrics["kid"] = kernel_distance(real_feats, feats)
 

@@ -27,7 +27,8 @@ from .parallel import (batch_sharding, make_mesh, replicated_sharding,
                        shard_batch)
 from .sample import get_sampling_fn
 from .sde import get_sde
-from .train import (CheckpointManager, init_train_state, make_train_step)
+from .train import (CheckpointManager, init_train_state, make_eval_loss_step,
+                    make_train_step)
 from .train.state import param_count
 
 log = logging.getLogger(__name__)
@@ -156,6 +157,28 @@ def evaluate(config, workdir, assetdir=None, eval_folder="eval"):
   _, eval_ds = datasets.get_dataset(config, evaluation_only=True)
 
   results = {}
+  if config.eval.get("enable_loss", False) and config.training.continuous:
+    # eval-mode score-matching loss under EMA weights; the reference's
+    # eval.enable_loss knob gated a dead step_fn path (losses.py:279-293
+    # hits an unbound variable) — this is the working equivalent.
+    eval_loss_fn = jax.jit(make_eval_loss_step(config, sde, model))
+    key = jax.random.PRNGKey(config.seed + 2)
+    it = iter(eval_ds.as_numpy_iterator())
+    vals = []
+    for _ in range(config.eval.get("loss_iter", 10)):
+      try:
+        batch, it = datasets.get_batch(config, it, eval_ds)
+      except StopIteration:
+        break
+      key, k_b = jax.random.split(key)
+      vals.append(np.asarray(eval_loss_fn(params, scaler(batch), k_b)))
+    if vals:
+      vals = np.concatenate(vals)
+      results["eval_loss_mean"] = float(vals.mean())
+      results["eval_loss_std"] = float(vals.std())
+      log.info("eval loss: mean %.5e std %.5e over %d examples",
+               vals.mean(), vals.std(), vals.size)
+
   if config.eval.enable_bpd:
     results.update(evaluation.compute_bpd(
         config, eval_ds, scaler, inverse_scaler, nelbo_fn, nll_fn, model,

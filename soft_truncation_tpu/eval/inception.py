@@ -125,6 +125,64 @@ class FlaxInceptionExtractor(FeatureExtractor):
     return np.concatenate(feats), np.concatenate(probs)
 
 
+INCEPTION_TFHUB = "https://tfhub.dev/tensorflow/tfgan/eval/inception/1"
+INCEPTION_V3_TFHUB = (
+    "https://tfhub.dev/google/imagenet/inception_v3/feature_vector/4")
+
+
+class TFHubInceptionExtractor(FeatureExtractor):
+  """The reference's TF-Hub pipeline (reference evaluation.py:36-163):
+  tfgan Inception v1 (pool_3 + logits) for <256px datasets, Inception v3
+  feature_vector for >=256px. Requires tensorflow_hub with the module
+  already in TFHUB_CACHE_DIR (zero-egress environments can pre-seed it).
+  """
+
+  name = "tfhub"
+
+  def __init__(self, inceptionv3: bool = False, batch_size: int = 128):
+    import tensorflow as tf
+    import tensorflow_hub as tfhub
+    self._tf = tf
+    self.inceptionv3 = inceptionv3
+    self.batch_size = batch_size
+    self.model = tfhub.load(
+        INCEPTION_V3_TFHUB if inceptionv3 else INCEPTION_TFHUB)
+
+  def __call__(self, images_uint8: np.ndarray):
+    tf = self._tf
+    feats, probs = [], []
+    for i in range(0, len(images_uint8), self.batch_size):
+      x = tf.convert_to_tensor(images_uint8[i:i + self.batch_size])
+      if self.inceptionv3:  # reference evaluation.py:112-115
+        x = tf.cast(x, tf.float32) / 255.0
+        feats.append(np.asarray(self.model(x)))
+      else:
+        x = (tf.cast(x, tf.float32) - 127.5) / 127.5
+        out = self.model(x)
+        feats.append(np.asarray(tf.reshape(out["pool_3"],
+                                           (x.shape[0], -1))))
+        logits = np.asarray(tf.reshape(out["logits"], (x.shape[0], -1)))
+        probs.append(np.exp(logits - logits.max(axis=1, keepdims=True)))
+    feats = np.concatenate(feats)
+    if probs:
+      probs = np.concatenate(probs)
+      probs = probs / probs.sum(axis=1, keepdims=True)
+      return feats, probs
+    return feats, None
+
+
+def _tfhub_module_cached() -> bool:
+  """True only when tensorflow_hub is importable AND a module cache dir
+  exists — the tfhub backend is gated on this probe so zero-egress
+  environments never attempt a download."""
+  try:
+    import tensorflow_hub  # noqa: F401
+  except ImportError:
+    return False
+  cache = os.environ.get("TFHUB_CACHE_DIR", "/tmp/tfhub_modules")
+  return os.path.isdir(cache) and bool(os.listdir(cache))
+
+
 def get_feature_extractor(config, assetdir: Optional[str] = None,
                           allow_dummy: bool = True) -> FeatureExtractor:
   """Resolve the best available backend (see module docstring)."""
@@ -135,14 +193,16 @@ def get_feature_extractor(config, assetdir: Optional[str] = None,
         return FlaxInceptionExtractor(weights)
       except Exception as e:  # pragma: no cover
         log.warning("flax inception unavailable: %s", e)
-  try:  # pragma: no cover - requires cached TF-Hub modules
-    import tensorflow_hub as tfhub  # noqa: F401
-    raise ImportError  # full tfhub path not wired in this environment
-  except ImportError:
-    pass
+  if _tfhub_module_cached():  # pragma: no cover - needs cached modules
+    try:
+      return TFHubInceptionExtractor(
+          inceptionv3=config.data.image_size >= 256)
+    except Exception as e:
+      log.warning("tfhub inception unavailable: %s", e)
   if allow_dummy:
     return DummyFeatureExtractor()
   raise RuntimeError(
       "No Inception backend available: provide "
       "<assetdir>/inception_v3_weights.npz (tools/"
-      "convert_inception_weights.py) or enable the dummy extractor.")
+      "convert_inception_weights.py), pre-seed TFHUB_CACHE_DIR, or "
+      "enable the dummy extractor.")

@@ -1,0 +1,82 @@
+"""Converter + Flax InceptionV3 forward parity vs an independent torch
+oracle of the pytorch-FID Inception variant (reference
+cleanfid/inception_pytorch.py:218-325), built with seeded random weights
+at test time — no network, no stored blob. Covers: OIHW->HWIO kernel
+transpose, BN scale/bias/running-stat mapping (eps=1e-3), FID pooling
+patches (count_include_pad=False avg; Mixed_7c max), fc mapping, and the
+[0,255] input normalization."""
+
+import os
+import sys
+import tempfile
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def oracle():
+  from make_inception_goldens import build_random_oracle
+  return build_random_oracle(seed=0)
+
+
+def test_converter_and_flax_forward_match_torch(oracle):
+  from make_inception_goldens import oracle_forward
+  from convert_inception_weights import convert
+  from soft_truncation_tpu.eval.inception_v3 import (InceptionV3,
+                                                     load_params_npz)
+
+  rng = np.random.RandomState(1)
+  # 111 px: smallest size giving a 2x2 final grid, so the global average
+  # pool is exercised non-trivially (299 would be needlessly slow on CPU)
+  x_raw = rng.uniform(0, 255, size=(2, 3, 111, 111)).astype(np.float32)
+  feats_t, logits_t = oracle_forward(oracle, x_raw)
+
+  with tempfile.TemporaryDirectory() as tmp:
+    npz = os.path.join(tmp, "w.npz")
+    convert(oracle.state_dict(), npz)
+    params = load_params_npz(npz)
+
+  model = InceptionV3(num_classes=1008)
+  x_nhwc = jnp.asarray(np.transpose(x_raw, (0, 2, 3, 1)))
+  feats_j, probs_j = model.apply({"params": params}, x_nhwc)
+
+  np.testing.assert_allclose(np.asarray(feats_j), feats_t,
+                             rtol=1e-4, atol=1e-4)
+  probs_t = torch.softmax(torch.from_numpy(logits_t), dim=1).numpy()
+  np.testing.assert_allclose(np.asarray(probs_j), probs_t,
+                             rtol=1e-4, atol=1e-6)
+
+
+def test_converter_skips_aux_and_covers_all_params(oracle):
+  """Every Flax param leaf must be produced by the converter (no silently
+  default-initialized leaves), and AuxLogits keys must be dropped."""
+  import jax
+  from convert_inception_weights import convert
+  from soft_truncation_tpu.eval.inception_v3 import (InceptionV3,
+                                                     load_params_npz)
+
+  sd = dict(oracle.state_dict())
+  # inject a fake AuxLogits entry like the pytorch-fid checkpoint carries
+  sd["AuxLogits.conv0.conv.weight"] = torch.zeros(128, 768, 1, 1)
+  with tempfile.TemporaryDirectory() as tmp:
+    npz = os.path.join(tmp, "w.npz")
+    convert(sd, npz)
+    params = load_params_npz(npz)
+  assert "AuxLogits" not in params
+
+  model = InceptionV3(num_classes=1008)
+  x = jnp.zeros((1, 75, 75, 3))
+  init_params = model.init({"params": jax.random.PRNGKey(0)}, x)["params"]
+  init_paths = {jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(init_params)[0]}
+  got_paths = {jax.tree_util.keystr(p) for p, _ in
+               jax.tree_util.tree_flatten_with_path(params)[0]}
+  assert init_paths == got_paths, (
+      f"missing={sorted(init_paths - got_paths)[:6]} "
+      f"extra={sorted(got_paths - init_paths)[:6]}")

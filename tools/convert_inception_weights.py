@@ -22,6 +22,8 @@ def convert(state_dict, out_path):
   for key, tensor in state_dict.items():
     t = tensor.detach().cpu().numpy()
     parts = key.split(".")
+    if parts[0] == "AuxLogits":  # training-only head, absent in the port
+      continue
     # torchvision names: Mixed_5b.branch1x1.conv.weight / .bn.weight ...
     if parts[-2] == "conv" and parts[-1] == "weight":
       name = "/".join(parts[:-2]) + "/conv/kernel"

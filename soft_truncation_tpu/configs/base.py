@@ -44,7 +44,10 @@ _CIFAR10 = dict(
         probability_flow=True, nelbo_iter=0, nll_iter=0),
     data=dict(
         dataset="CIFAR10", image_size=32, random_flip=True, centered=False,
-        dequantization="none", num_channels=3),
+        dequantization="none", num_channels=3,
+        # rebuild extension: 'tf' = tf.data pipeline (reference parity);
+        # 'native' = resident-array C++ batch assembler (data/native/)
+        pipeline="tf"),
     model=dict(
         sigma_min=0.01, sigma_max=50.0, num_scales=1000, beta_min=0.1,
         beta_max=20.0, dropout=0.1, embedding_type="fourier",

@@ -153,7 +153,7 @@ def _load_tfds(config, split: str):
     return None
 
 
-def _load_npz(config, split: str):
+def _load_npz_array(config, split: str) -> Optional[np.ndarray]:
   path = _npz_path(config, split)
   if path is None:
     return None
@@ -162,6 +162,13 @@ def _load_npz(config, split: str):
   assert images.dtype == np.uint8 and images.ndim == 4
   log.info("loaded %s: %s images from %s", config.data.dataset,
            len(images), path)
+  return images
+
+
+def _load_npz(config, split: str):
+  images = _load_npz_array(config, split)
+  if images is None:
+    return None
   return tf.data.Dataset.from_tensor_slices({"image": images})
 
 
@@ -182,7 +189,7 @@ def _load_tfrecords(config):
   return ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
 
 
-def _synthetic(config, split: str):
+def _synthetic_array(config, split: str) -> np.ndarray:
   """Deterministic stand-in data (uint8) for data-less environments."""
   n = 2048 if split != "train" else 8192
   size = config.data.image_size
@@ -196,8 +203,12 @@ def _synthetic(config, split: str):
   imgs = jax.image.resize(jnp.asarray(base), (n, size, size, c),
                           "linear")
   imgs = np.asarray(imgs) + rng.normal(0, 8, size=(n, size, size, c))
-  imgs = np.clip(imgs, 0, 255).astype(np.uint8)
-  return tf.data.Dataset.from_tensor_slices({"image": imgs})
+  return np.clip(imgs, 0, 255).astype(np.uint8)
+
+
+def _synthetic(config, split: str):
+  return tf.data.Dataset.from_tensor_slices(
+      {"image": _synthetic_array(config, split)})
 
 
 def _resize_op(config):
@@ -225,14 +236,88 @@ def _resize_op(config):
   return op
 
 
+class _NativeTrainDataset:
+  """Infinite shuffled batches from a resident uint8 array via the C++
+  batch assembler (data/native/). Duck-types the tf.data surface used by
+  run_lib (as_numpy_iterator yielding {'image': [B,H,W,C] float32 [0,1]});
+  dequantization/scaling stay in the jitted step exactly as on the tf
+  path, so swapping pipelines never changes training math."""
+
+  def __init__(self, images: np.ndarray, batch_size: int, random_flip: bool,
+               seed: int):
+    from .native import NativeBatcher
+    self._batcher = NativeBatcher(images, batch_size,
+                                  random_flip=random_flip,
+                                  uniform_dequant=False, centered=False,
+                                  seed=seed)
+
+  def as_numpy_iterator(self):
+    for batch in self._batcher:
+      yield {"image": batch}
+
+
+class _NativeEvalDataset:
+  """One finite pass over a resident uint8 array, no augmentation."""
+
+  def __init__(self, images: np.ndarray, batch_size: int):
+    self._images = images
+    self._bs = batch_size
+
+  def as_numpy_iterator(self):
+    for i in range(0, len(self._images), self._bs):
+      chunk = self._images[i:i + self._bs]
+      yield {"image": chunk.astype(np.float32) / 255.0}
+
+
+def _native_dataset(config, split: str, evaluation: bool):
+  """config.data.pipeline='native': resident-array source (npz at final
+  size, or synthetic), per-host sharded, batched by the native assembler."""
+  images = _load_npz_array(config, split)
+  if images is None:
+    if config.data.dataset in _TFDS_NAMES or config.data.dataset in (
+        "FFHQ", "CelebAHQ", "LSUN", "IMAGENET32"):
+      log.warning("native pipeline: no npz for %s/%s "
+                  "(tools/make_dataset_npz.py builds them); synthetic data",
+                  config.data.dataset, split)
+    images = _synthetic_array(config, split)
+  expect = (config.data.image_size, config.data.image_size,
+            config.data.num_channels)
+  assert images.shape[1:] == expect, (
+      f"native pipeline needs pre-sized npz images {expect}, got "
+      f"{images.shape[1:]} — rebuild with tools/make_dataset_npz.py")
+  if jax.process_count() > 1:
+    images = images[jax.process_index()::jax.process_count()]
+  batch_size = (config.eval.batch_size if evaluation
+                else config.training.batch_size)
+  per_host = batch_size // jax.process_count()
+  if evaluation:
+    return _NativeEvalDataset(images, per_host)
+  return _NativeTrainDataset(images, per_host,
+                             random_flip=config.data.random_flip,
+                             seed=config.seed)
+
+
 def get_dataset(config, evaluation_only: bool = False,
                 shard_per_host: bool = True):
-  """Build (train_ds, eval_ds) tf.data pipelines of image batches.
+  """Build (train_ds, eval_ds) pipelines of image batches.
 
-  Pipeline: repeat -> shuffle(10k) -> map(resize+flip) -> batch -> prefetch
-  (reference datasets.py:328-344). Returned datasets yield numpy dicts
-  {'image': [B,H,W,C] float32 in [0,1]}.
+  tf path: repeat -> shuffle(10k) -> map(resize+flip) -> batch -> prefetch
+  (reference datasets.py:328-344). native path: resident uint8 array +
+  C++ batch assembler (gather+flip fused, data/native/). Both yield numpy
+  dicts {'image': [B,H,W,C] float32 in [0,1]}.
   """
+  pipeline = config.data.get("pipeline", "tf")
+  if pipeline not in ("tf", "native"):
+    raise ValueError(f"config.data.pipeline must be 'tf' or 'native', "
+                     f"got {pipeline!r}")
+  if pipeline == "native":
+    train_split, eval_split = _SPLITS.get(config.data.dataset,
+                                          ("train", "train"))
+    eval_ds = _native_dataset(config, eval_split, evaluation=True)
+    if evaluation_only:
+      return None, eval_ds
+    return _native_dataset(config, train_split, evaluation=False), eval_ds
+
   assert _HAVE_TF, "tf.data input pipeline requires tensorflow"
 
   def build(split: str, evaluation: bool):

@@ -114,3 +114,53 @@ def test_throughput_vs_numpy(dataset):
     npy.assemble(idx, i)
   t_np = time.perf_counter() - t0
   assert t_nat < t_np * 1.5, (t_nat, t_np)
+
+
+def test_native_pipeline_wired_into_get_dataset(tmp_path, monkeypatch):
+  """config.data.pipeline='native' must resolve through get_dataset and
+  feed run_lib-shaped batches (train: infinite shuffled; eval: one pass)."""
+  from soft_truncation_tpu.configs.base import default_config
+  from soft_truncation_tpu.data import datasets as D
+
+  rng = np.random.RandomState(0)
+  imgs = rng.randint(0, 256, size=(64, 8, 8, 3), dtype=np.uint8)
+  np.savez(tmp_path / "cifar10_train.npz", images=imgs)
+  np.savez(tmp_path / "cifar10_test.npz", images=imgs[:32])
+  monkeypatch.setenv("SOFT_TRUNCATION_DATA_DIR", str(tmp_path))
+
+  config = default_config("cifar10")
+  config.data.pipeline = "native"
+  config.data.image_size = 8
+  config.training.batch_size = 16
+  config.eval.batch_size = 16
+
+  train_ds, eval_ds = D.get_dataset(config)
+  it = iter(train_ds.as_numpy_iterator())
+  batch, it = D.get_batch(config, it, train_ds)
+  assert batch.shape == (16, 8, 8, 3)
+  assert 0.0 <= float(batch.min()) and float(batch.max()) <= 1.0
+
+  eval_batches = list(eval_ds.as_numpy_iterator())
+  assert len(eval_batches) == 2  # 32 eval images / 16
+  np.testing.assert_allclose(eval_batches[0]["image"],
+                             imgs[:16].astype(np.float32) / 255.0)
+
+
+def test_native_pipeline_train_smoke(tmp_path, monkeypatch):
+  """Two real train steps through run_lib with the native pipeline."""
+  from test_eval_and_runlib import _pipeline_config
+  from soft_truncation_tpu import run_lib
+
+  rng = np.random.RandomState(1)
+  imgs = rng.randint(0, 256, size=(64, 8, 8, 3), dtype=np.uint8)
+  workdir = tmp_path / "wd"
+  np.savez(tmp_path / "cifar10_train.npz", images=imgs)
+  np.savez(tmp_path / "cifar10_test.npz", images=imgs[:32])
+  monkeypatch.setenv("SOFT_TRUNCATION_DATA_DIR", str(tmp_path))
+
+  config = _pipeline_config()
+  config.data.pipeline = "native"
+  config.training.n_iters = 2
+  config.eval.enable_bpd = False
+  state = run_lib.train(config, str(workdir), assetdir=None)
+  assert int(state.step) == 3

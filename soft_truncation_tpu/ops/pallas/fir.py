@@ -210,13 +210,35 @@ def _fir2_fwd(x, k, gain, mode):
 
 
 def _fir2_bwd(k, gain, mode, res, ybar):
+  """Pallas backward: the adjoint of a stride-2 polyphase FIR is itself a
+  stride-2 polyphase FIR with REVERSED taps and mirrored pads.
+
+  Derivation (per axis, T taps, forward pads (pad0, pad1)):
+    adjoint(up2)   = down2 with taps reverse(K), pads (T-1-pad0, pad0-1)
+    adjoint(down2) = up2  with taps reverse(K), pads (T-1-pad0, pad0)
+  For even T these mirrored pads coincide with the standard
+  upsample_2d/downsample_2d pad choices, so the backward is expressed as
+  another _fir2_op call — giving a Pallas backward AND double-backward
+  for free (the recursion bottoms out because each call is linear). The
+  coefficient scale carries over exactly:
+    down2 uses k/sum*sqrt(g) per axis  -> adjoint up2 needs gain g/4
+    up2   uses k/sum*sqrt(g)*2         -> adjoint down2 needs gain 4g
+  (sum(k) is flip-invariant). Odd-T kernels (unused by any config) fall
+  back to the exact lax-path linear transpose.
+  """
   del res  # input shape is recoverable from the cotangent
+  T = len(k)
+  if T % 2 == 0:
+    k_rev = tuple(reversed(k))
+    if mode == "up":
+      return (_fir2_op(ybar, k_rev, 4.0 * gain, "down"),)
+    return (_fir2_op(ybar, k_rev, gain / 4.0, "up"),)
+
   n, mh, mw, c = ybar.shape
   if mode == "up":
     shape = (n, mh // 2, mw // 2, c)
   else:
-    T = len(k)
-    pad_sum = (T - 1) // 2 + (T - 2) // 2  # == T - 2 for even T
+    pad_sum = (T - 1) // 2 + (T - 2) // 2
     # invert M = (L + pad_sum - T)//2 + 1  ->  L = 2M - 2 + T - pad_sum
     shape = (n, 2 * mh - 2 + T - pad_sum, 2 * mw - 2 + T - pad_sum, c)
   transpose = jax.linear_transpose(

@@ -56,3 +56,51 @@ def test_pallas_up2_gain():
   got = fir_upsample2_pallas(x, [1., 3., 3., 1.], gain=2.0, interpret=True)
   np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                              rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [[1., 3., 3., 1.], [1., 1.]],
+                         ids=["fir1331", "box"])
+@pytest.mark.parametrize("gain", [1.0, 2.0])
+def test_mirrored_pad_adjoint_up2(k, gain):
+  """The Pallas backward's algebra: adjoint(up2) == down2 with reversed
+  taps and gain*4 (fir.py _fir2_bwd derivation), checked against the
+  exact linear transpose of the lax path."""
+  from soft_truncation_tpu.ops.pallas.fir import _lax_equivalent
+  x_shape = jax.ShapeDtypeStruct((2, 8, 8, 3), jnp.float32)
+  ybar = jax.random.normal(jax.random.PRNGKey(3), (2, 16, 16, 3))
+  (want,) = jax.linear_transpose(
+      lambda x: _lax_equivalent(x, tuple(k), gain, "up"), x_shape)(ybar)
+  got = fir_downsample2_pallas(ybar, list(reversed(k)), gain=4.0 * gain,
+                               interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [[1., 3., 3., 1.], [1., 1.]],
+                         ids=["fir1331", "box"])
+@pytest.mark.parametrize("gain", [1.0, 2.0])
+def test_mirrored_pad_adjoint_down2(k, gain):
+  """adjoint(down2) == up2 with reversed taps and gain/4."""
+  from soft_truncation_tpu.ops.pallas.fir import _lax_equivalent
+  x_shape = jax.ShapeDtypeStruct((2, 16, 16, 3), jnp.float32)
+  ybar = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 3))
+  (want,) = jax.linear_transpose(
+      lambda x: _lax_equivalent(x, tuple(k), gain, "down"), x_shape)(ybar)
+  got = fir_upsample2_pallas(ybar, list(reversed(k)), gain=gain / 4.0,
+                             interpret=True)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)
+
+
+def test_asymmetric_kernel_adjoint():
+  """Tap reversal matters: an asymmetric kernel must still satisfy the
+  adjoint identity <up2(x), y> == <x, adjoint(y)>."""
+  k = [1., 2., 3., 2.]
+  x = jax.random.normal(jax.random.PRNGKey(5), (1, 8, 8, 2))
+  y = jax.random.normal(jax.random.PRNGKey(6), (1, 16, 16, 2))
+  fwd = fir_upsample2_pallas(x, k, interpret=True)
+  adj = fir_downsample2_pallas(y, list(reversed(k)), gain=4.0,
+                               interpret=True)
+  lhs = float(jnp.vdot(fwd, y))
+  rhs = float(jnp.vdot(x, adj))
+  assert lhs == pytest.approx(rhs, rel=1e-5)

@@ -64,6 +64,13 @@ def main():
       bs)
   state = jax.device_put(state, rs)
 
+  # XLA's own cost model for the compiled step: FLOPs for the MFU figure,
+  # bytes for the HBM roofline (see benchmarks/ROOFLINE.md)
+  compiled = jitted.lower(state, batch, jax.random.PRNGKey(2)).compile()
+  ca = compiled.cost_analysis() or {}
+  step_flops = float(ca.get("flops", 0.0))
+  step_bytes = float(ca.get("bytes accessed", 0.0))
+
   key = jax.random.PRNGKey(2)
   for i in range(WARMUP):
     key, k = jax.random.split(key)
@@ -83,11 +90,23 @@ def main():
   n_chips = jax.device_count()
   imgs_per_sec = BATCH * ITERS / dt
   per_chip = imgs_per_sec / n_chips
+  step_s = dt / ITERS
+  # TPU v5e (v5 lite) per-chip peaks; MFU/HBM% are vs these.
+  peak_flops = 197e12 if "v5 lite" in str(jax.devices()[0]) else None
+  peak_hbm = 819e9 if peak_flops else None
   print(json.dumps({
       "metric": "cifar10_ddpmpp_train_imgs_per_sec_per_chip",
       "value": round(per_chip, 2),
       "unit": "imgs/sec/chip",
       "vs_baseline": round(per_chip / ASSUMED_A100_IMGS_PER_SEC, 3),
+      "batch": BATCH,
+      "step_ms": round(step_s * 1000, 2),
+      "mfu": (round(step_flops / step_s / n_chips / peak_flops, 4)
+              if peak_flops else None),
+      "hbm_frac": (round(step_bytes / step_s / n_chips / peak_hbm, 4)
+                   if peak_hbm else None),
+      "flops_per_step": step_flops,
+      "hbm_bytes_per_step": step_bytes,
   }))
 
 

@@ -69,8 +69,11 @@ def test_forward_parity(name):
   assert init_paths == ported_paths, (
       f"missing={sorted(init_paths - ported_paths)[:8]} "
       f"extra={sorted(ported_paths - init_paths)[:8]}")
+  ported_by_path = dict(ported_flat)
   for p, v in init_flat:
-    assert dict(ported_flat)[p].shape == v.shape if False else True
+    assert ported_by_path[p].shape == v.shape, (
+        f"{jax.tree_util.keystr(p)}: ported {ported_by_path[p].shape} "
+        f"vs init {v.shape}")
 
   ported = jax.tree.map(jnp.asarray, ported)
   out = model.apply({"params": ported}, x, t, train=False)

@@ -2,9 +2,11 @@
 langevin corrector => 2000 NFE/sample-batch) on the real TPU.
 
 Projects FID-50k sampling wall-clock (BASELINE.md metric). Run standalone:
-  python tools/bench_sampling.py [batch]
+  python tools/bench_sampling.py [batch ...]      # default sweep 256 512 1024
+Appends one JSON record per batch size to benchmarks/sampling.jsonl.
 """
 
+import json
 import os
 import sys
 import time
@@ -15,8 +17,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main():
-  batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+def run_one(batch: int) -> dict:
   import importlib.util
   spec = importlib.util.spec_from_file_location(
       "c", "soft_truncation_tpu/configs/ve/CIFAR10/uncsnpp_st.py")
@@ -55,9 +56,31 @@ def main():
   dt = time.perf_counter() - t0
 
   per_50k = dt * (50000 / batch)
-  print(f"pc sampler (N={sde.N}, nfe={int(nfe)}): compile {compile_time:.0f}s,"
-        f" {dt:.1f}s/batch{batch} -> {batch/dt:.1f} imgs/s"
-        f" -> FID-50k sampling in {per_50k/60:.1f} min on one chip")
+  rec = {
+      "config": "ve/CIFAR10/uncsnpp_st", "sampler": "pc",
+      "N": int(sde.N), "nfe": int(nfe), "batch": batch,
+      "compute_dtype": "bfloat16",
+      "compile_s": round(compile_time, 1),
+      "batch_s": round(dt, 2),
+      "ms_per_nfe": round(dt / int(nfe) * 1000, 3),
+      "imgs_per_sec": round(batch / dt, 2),
+      "fid50k_min_per_chip": round(per_50k / 60, 1),
+      "device": str(jax.devices()[0]),
+  }
+  print(json.dumps(rec))
+  return rec
+
+
+def main():
+  batches = ([int(a) for a in sys.argv[1:]] if len(sys.argv) > 1
+             else [256, 512, 1024])
+  recs = [run_one(b) for b in batches]
+  out = os.path.join(os.path.dirname(os.path.dirname(
+      os.path.abspath(__file__))), "benchmarks", "sampling.jsonl")
+  os.makedirs(os.path.dirname(out), exist_ok=True)
+  with open(out, "a") as f:
+    for rec in recs:
+      f.write(json.dumps(rec) + "\n")
 
 
 if __name__ == "__main__":

@@ -128,6 +128,9 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       mesh_shape=(),            # () = all devices on one 'data' axis
       compute_dtype="float32",  # 'bfloat16' for speed on TPU
       remat=False,              # jax.checkpoint the resblocks (1024^2 runs)
+      # 'full' | 'conv_outputs' (store only conv results, recompute
+      # norm/act chains — trades VPU reflops for HBM traffic)
+      remat_policy="full",
       donate_state=True,
       # 'unsafe_rbg' makes dropout-mask generation ~25% of step time
       # cheaper than threefry on TPU; streams are not bit-reproducible

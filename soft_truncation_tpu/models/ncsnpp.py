@@ -75,6 +75,11 @@ class NCSNpp(nn.Module):
   # rematerialize residual blocks (activation checkpointing) — needed to
   # fit the 1024^2 FFHQ config on one chip (SURVEY.md "hard parts")
   remat: bool = False
+  # 'full': recompute everything in backward (min memory);
+  # 'conv_outputs': store only MXU (conv/shortcut) results and recompute
+  # the GroupNorm/SiLU chains — targets HBM traffic, the measured train
+  # bottleneck (bench.py: 95% of v5e HBM bandwidth), at minimal reflops
+  remat_policy: str = "full"
   # GroupNorm compute dtype: f32 by default (scale/bias params are f32 so
   # flax promotes); bf16 trades ~0 quality margin for ~9%% step time
   norm_dtype: Any = jnp.float32
@@ -91,7 +96,10 @@ class NCSNpp(nn.Module):
                  else layerspp.ResnetBlockBigGANpp)
     if self.remat:
       # static_argnums: 0=self, 1=x, 2=temb, 3=train
-      block_cls = nn.remat(block_cls, static_argnums=(3,))
+      policy = None
+      if self.remat_policy == "conv_outputs":
+        policy = jax.checkpoint_policies.save_only_these_names("conv_out")
+      block_cls = nn.remat(block_cls, static_argnums=(3,), policy=policy)
     ResnetBlock = (
         functools.partial(block_cls, act=act,
                           dropout=self.dropout, init_scale=self.init_scale,
@@ -284,6 +292,8 @@ class NCSNpp(nn.Module):
         and tpu_cfg.get("compute_dtype", "float32") == "bfloat16"
     ) else jnp.float32
     remat = bool(tpu_cfg.get("remat", False)) if tpu_cfg is not None else False
+    remat_policy = (tpu_cfg.get("remat_policy", "full")
+                    if tpu_cfg is not None else "full")
     norm_dtype = jnp.bfloat16 if (
         tpu_cfg is not None
         and tpu_cfg.get("norm_dtype", "float32") == "bfloat16"
@@ -291,6 +301,7 @@ class NCSNpp(nn.Module):
     return cls(
         dtype=dtype,
         remat=remat,
+        remat_policy=remat_policy,
         norm_dtype=norm_dtype,
         nf=m.nf,
         ch_mult=tuple(m.ch_mult),

@@ -36,7 +36,11 @@ _CIFAR10 = dict(
         balanced=False),
     sampling=dict(
         n_steps_each=1, noise_removal=True, probability_flow=False,
-        snr=0.16, batch_size=1024, truncation_time=1e-5, sample_more=True),
+        snr=0.16, batch_size=1024, truncation_time=1e-5, sample_more=True,
+        # rebuild extension: >0 splits the PC scan into bounded-length
+        # device dispatches (watchdog/preemption safety at large batch);
+        # 0 = one scan. Bit-identical either way.
+        chunk=0),
     eval=dict(
         begin_ckpt=9, end_ckpt=26, batch_size=200, enable_sampling=False,
         num_samples=50000, enable_loss=True, enable_bpd=False,

@@ -60,8 +60,10 @@ def _build_everything(config, workdir):
                     config.data.image_size, config.data.num_channels)
   sampling_fn = get_sampling_fn(config, sde, sampling_shape, inverse_scaler,
                                 config.sampling.truncation_time)
-  # one compilation for all sample shards (model is static, params pytree)
-  sampling_fn = jax.jit(sampling_fn, static_argnums=0)
+  # one compilation for all sample shards (model is static, params pytree);
+  # chunked samplers (config.sampling.chunk > 0) jit their own segments
+  if not getattr(sampling_fn, "self_jitting", False):
+    sampling_fn = jax.jit(sampling_fn, static_argnums=0)
   return (sde, model, tx, state, ckpt, scaler, inverse_scaler, nll_fn,
           nelbo_fn, sampling_fn)
 

@@ -227,37 +227,74 @@ def get_pc_sampler(config, sde: SDE, shape, predictor: str, corrector: str,
                    inverse_scaler, snr: float, n_steps: int = 1,
                    probability_flow: bool = False, continuous: bool = False,
                    denoise: bool = True, eps: float = 1e-3) -> Callable:
-  """Predictor-Corrector sampler as one scan (reference sampling.py:365-433)."""
+  """Predictor-Corrector sampler as one scan (reference sampling.py:365-433).
+
+  ``config.sampling.chunk > 0`` splits the N-step scan into bounded-length
+  device dispatches (state carried on device between them, results are
+  bit-identical to the single-scan form). Long single dispatches (tens of
+  seconds at large batch) can trip runtime watchdogs on tunneled/remote
+  TPU runtimes; chunking also bounds lost work under preemption. The
+  chunked sampler jits its segments internally — do NOT wrap it in an
+  outer jit (get_sampling_fn tags it with ``self_jitting=True``).
+  """
   predictor_fn = get_predictor(predictor)
   corrector_fn = get_corrector(corrector)
   N = sde.N
+  chunk = int(config.sampling.get("chunk", 0) or 0)
+  timesteps_host = jnp.linspace(sde.T, eps, N)
+  next_timesteps_host = jnp.concatenate([timesteps_host[1:],
+                                         jnp.zeros((1,))])
 
-  def sampler(model, params, key) -> Tuple[Array, int]:
+  def _scan(model, params, x, key, idxs):
+    """Scan PC steps for global step indices ``idxs``; returns the carried
+    (x, key) and the last x_mean of the segment."""
     score_fn = get_score_fn(config, sde, model, params, train=False,
                             continuous=continuous)
     rsde = ReverseSDE(sde, score_fn, probability_flow=probability_flow,
                       lambda_=0.0 if probability_flow else 1.0)
-    key, k_prior = jax.random.split(key)
-    x = sde.prior_sampling(k_prior, shape)
-    timesteps = jnp.linspace(sde.T, eps, N)
-    next_timesteps = jnp.concatenate([timesteps[1:], jnp.zeros((1,))])
 
     def body(carry, i):
       x, key = carry
       key, k_c, k_p = jax.random.split(key, 3)
-      t_vec = jnp.full((shape[0],), timesteps[i])
-      nt_vec = jnp.full((shape[0],), next_timesteps[i])
+      t_vec = jnp.full((shape[0],), timesteps_host[i])
+      nt_vec = jnp.full((shape[0],), next_timesteps_host[i])
       x, x_mean = corrector_fn(sde, score_fn, x, t_vec, k_c, snr, n_steps)
       x, x_mean = predictor_fn(
           rsde, x, t_vec, k_p,
           next_t=nt_vec if isinstance(sde, ReciprocalVESDE) else None)
       return (x, key), x_mean
 
-    (x, key), x_means = jax.lax.scan(body, (x, key), jnp.arange(N))
-    x_mean = x_means[-1]
-    x = _denoise_step(config, sde, score_fn, x_mean if denoise else x,
-                      sde.eps, probability_flow=True)
-    return inverse_scaler(x), N * (n_steps + 1)
+    (x, key), x_means = jax.lax.scan(body, (x, key), idxs)
+    return x, key, x_means[-1]
+
+  def _finish(model, params, x, x_mean):
+    score_fn = get_score_fn(config, sde, model, params, train=False,
+                            continuous=continuous)
+    out = _denoise_step(config, sde, score_fn, x_mean if denoise else x,
+                        sde.eps, probability_flow=True)
+    return inverse_scaler(out)
+
+  if 0 < chunk < N:
+    seg_jit = jax.jit(_scan, static_argnums=0)
+    finish_jit = jax.jit(_finish, static_argnums=0)
+
+    def sampler(model, params, key) -> Tuple[Array, int]:
+      key, k_prior = jax.random.split(key)
+      x = sde.prior_sampling(k_prior, shape)
+      x_mean = x
+      for s in range(0, N, chunk):
+        idxs = jnp.arange(s, min(s + chunk, N))
+        x, key, x_mean = seg_jit(model, params, x, key, idxs)
+      return finish_jit(model, params, x, x_mean), N * (n_steps + 1)
+
+    sampler.self_jitting = True
+    return sampler
+
+  def sampler(model, params, key) -> Tuple[Array, int]:
+    key, k_prior = jax.random.split(key)
+    x = sde.prior_sampling(k_prior, shape)
+    x, key, x_mean = _scan(model, params, x, key, jnp.arange(N))
+    return _finish(model, params, x, x_mean), N * (n_steps + 1)
 
   return sampler
 

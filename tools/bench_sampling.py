@@ -40,10 +40,15 @@ def run_one(batch: int) -> dict:
   state = init_train_state(jax.random.PRNGKey(0), config, model,
                            get_optimizer(config))
   shape = (batch, 32, 32, 3)
-  sampler = jax.jit(
-      get_sampling_fn(config, sde, shape, get_data_inverse_scaler(config),
-                      config.sampling.truncation_time),
-      static_argnums=0)
+  # chunked dispatches: one full-N scan at batch>=256 runs 30s+ per device
+  # call, which trips the remote-runtime watchdog (observed worker crash);
+  # chunk=100 keeps each dispatch ~2-4s, results bit-identical
+  config.sampling.chunk = 100
+  sampler = get_sampling_fn(config, sde, shape,
+                            get_data_inverse_scaler(config),
+                            config.sampling.truncation_time)
+  if not getattr(sampler, "self_jitting", False):
+    sampler = jax.jit(sampler, static_argnums=0)
 
   t0 = time.perf_counter()
   samples, nfe = sampler(model, state.params, jax.random.PRNGKey(1))

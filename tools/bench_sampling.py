@@ -50,6 +50,26 @@ def run_one(batch: int) -> dict:
   if not getattr(sampler, "self_jitting", False):
     sampler = jax.jit(sampler, static_argnums=0)
 
+  # roofline probe: XLA cost model of a short single-scan sampler gives
+  # per-model-eval FLOPs/bytes (scales linearly in N; N=10 compiles fast)
+  probe_cfg = mod.get_config()
+  probe_cfg.sampling.batch_size = batch
+  probe_cfg.tpu.compute_dtype = "bfloat16"
+  probe_cfg.model.num_scales = 10
+  probe_sde = get_sde(probe_cfg)
+  probe = get_sampling_fn(probe_cfg, probe_sde, shape,
+                          get_data_inverse_scaler(probe_cfg),
+                          probe_cfg.sampling.truncation_time)
+  lowered = jax.jit(probe, static_argnums=0).lower(
+      model, state.params, jax.random.PRNGKey(0))
+  ca = lowered.compile().cost_analysis() or {}
+  # XLA's cost model counts a scan body ONCE regardless of trip count
+  # (verified: flops(N=10) == flops(N=20)), so the compiled program holds
+  # scan-body (corrector+predictor = 2 evals) + final denoise (1 eval)
+  probe_evals = 3
+  flops_per_eval = float(ca.get("flops", 0.0)) / probe_evals
+  bytes_per_eval = float(ca.get("bytes accessed", 0.0)) / probe_evals
+
   t0 = time.perf_counter()
   samples, nfe = sampler(model, state.params, jax.random.PRNGKey(1))
   float(samples.mean())
@@ -70,6 +90,11 @@ def run_one(batch: int) -> dict:
       "ms_per_nfe": round(dt / int(nfe) * 1000, 3),
       "imgs_per_sec": round(batch / dt, 2),
       "fid50k_min_per_chip": round(per_50k / 60, 1),
+      "flops_per_eval": flops_per_eval,
+      "hbm_bytes_per_eval": bytes_per_eval,
+      # vs v5e peaks (197 TF/s bf16, 819 GB/s)
+      "eval_mfu": round(flops_per_eval / (dt / int(nfe)) / 197e12, 4),
+      "eval_hbm_frac": round(bytes_per_eval / (dt / int(nfe)) / 819e9, 4),
       "device": str(jax.devices()[0]),
   }
   print(json.dumps(rec))

@@ -131,3 +131,38 @@ def test_logsnr_monotone():
   g = model.apply(variables, t)
   assert g.shape == (64,)
   assert jnp.all(jnp.diff(g) >= -1e-5)  # monotone nondecreasing
+
+
+@pytest.mark.parametrize("policy", ["full", "conv_outputs"])
+def test_ncsnpp_remat_policies_match_nonremat(policy):
+  """tpu.remat + either remat_policy must change neither the forward nor
+  the gradients (activation checkpointing is a scheduling choice, not a
+  numerics choice)."""
+  base = tiny_ncsnpp_config()
+  model0 = create_model(base)
+
+  config = tiny_ncsnpp_config()
+  config.tpu.remat = True
+  config.tpu.remat_policy = policy
+  model1 = create_model(config)
+  assert model1.remat and model1.remat_policy == policy
+
+  x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+  t = jnp.asarray([1.0, 10.0])
+  params = model0.init({"params": jax.random.PRNGKey(1)}, x, t,
+                       train=False)["params"]
+
+  def loss(m, p):
+    return jnp.sum(m.apply({"params": p}, x, t, train=False) ** 2)
+
+  np.testing.assert_allclose(
+      np.asarray(loss(model0, params)), np.asarray(loss(model1, params)),
+      rtol=1e-6)
+  g0 = jax.grad(lambda p: loss(model0, p))(params)
+  g1 = jax.grad(lambda p: loss(model1, p))(params)
+  for (k0, a), (k1, b) in zip(
+      jax.tree_util.tree_flatten_with_path(g0)[0],
+      jax.tree_util.tree_flatten_with_path(g1)[0]):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-6,
+                               err_msg=jax.tree_util.keystr(k0))

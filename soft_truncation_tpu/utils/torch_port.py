@@ -145,6 +145,53 @@ def ncsnpp_module_order(config) -> List[Tuple[str, str]]:
   return order
 
 
+def ddpm_module_order(config) -> List[Tuple[str, str]]:
+  """(kind, flax_name) per entry of the legacy DDPM's all_modules list,
+  in construction order (models/ddpm.py:40-106)."""
+  m = config.model
+  L = len(m.ch_mult)
+  all_res = [config.data.image_size // (2 ** i) for i in range(L)]
+  attn_res = tuple(m.attn_resolutions)
+
+  order: List[Tuple[str, str]] = []
+  if m.conditional:
+    order.append(("linear", "temb_dense0"))
+    order.append(("linear", "temb_dense1"))
+  order.append(("conv", "stem"))
+  for i in range(L):
+    for b in range(m.num_res_blocks):
+      order.append(("res", f"down_{i}_{b}"))
+      if all_res[i] in attn_res:
+        order.append(("attn", f"down_attn_{i}_{b}"))
+    if i != L - 1:
+      order.append(("resample", f"down_{i}_ds"))
+  order += [("res", "mid_res0"), ("attn", "mid_attn"), ("res", "mid_res1")]
+  for i in reversed(range(L)):
+    for b in range(m.num_res_blocks + 1):
+      order.append(("res", f"up_{i}_{b}"))
+    if all_res[i] in attn_res:
+      order.append(("attn", f"up_attn_{i}"))
+    if i != 0:
+      order.append(("resample", f"up_{i}_us"))
+  order += [("gn", "out_norm"), ("conv", "out_conv")]
+  return order
+
+
+def port_ddpm_state_dict(state_dict: Dict[str, np.ndarray],
+                         config) -> Dict[str, Any]:
+  """torch state_dict -> Flax params for models.ddpm.DDPM.from_config.
+  The legacy DDPM reuses the ++ submodule names (GroupNorm_0/Conv_0/...,
+  models/layers.py:558-661), so the same converters apply."""
+  sd = {k.removeprefix("module."): np.asarray(v)
+        for k, v in state_dict.items()}
+  params: Dict[str, Any] = {}
+  for idx, (kind, name) in enumerate(ddpm_module_order(config)):
+    converted = _CONVERTERS[kind](sd, f"all_modules.{idx}")
+    if converted is not None:
+      params[name] = converted
+  return params
+
+
 _CONVERTERS = {
     "conv": _conv,
     "linear": _linear,

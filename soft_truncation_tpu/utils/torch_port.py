@@ -205,6 +205,61 @@ _CONVERTERS = {
 }
 
 
+_NCSNV2_KEY_RULES = [
+    # torch attribute path -> our Flax module path (models/ncsnv2.py,
+    # models/refine.py keep the reference's naming modulo these renames)
+    (r"res(\d+)\.(\d+)\.", lambda m: f"res{m[1]}_{m[2]}."),
+    (r"normalize1\.", lambda m: "norm1."),
+    (r"normalize2\.", lambda m: "norm2."),
+    (r"adapt_convs\.(\d+)\.", lambda m: f"adapt_{m[1]}."),
+    (r"output_convs\.", lambda m: "output."),
+    (r"convs\.(\d+)\.", lambda m: f"conv_{m[1]}."),   # MSF/CRP conv lists
+    (r"norms\.(\d+)\.", lambda m: f"norm_{m[1]}."),   # cond MSF/CRP norms
+    # RCU convs/norms: reference names are 1-indexed '{i}_{j}_conv'
+    # (models/layers.py:188-214); ours are 0-indexed 'conv_{i}_{j}'
+    (r"(\d+)_(\d+)_conv\.",
+     lambda m: f"conv_{int(m[1]) - 1}_{int(m[2]) - 1}."),
+    (r"(\d+)_(\d+)_norm\.",
+     lambda m: f"norm_{int(m[1]) - 1}_{int(m[2]) - 1}."),
+]
+
+
+def port_ncsnv2_state_dict(state_dict: Dict[str, np.ndarray],
+                           config=None) -> Dict[str, Any]:
+  """torch state_dict -> Flax params for the NCSNv1/v2 family
+  (models/ncsnv2.py:43-416). Unlike NCSN++'s flat ModuleList, these
+  models use named attributes, so the port is a systematic key rewrite
+  plus layout conversion (conv OIHW->HWIO, Embedding weight->embedding).
+  """
+  import re
+
+  params: Dict[str, Any] = {}
+  for key, value in state_dict.items():
+    key = key.removeprefix("module.")
+    if key == "sigmas" or ".instance_norm." in key:
+      continue  # buffer / param-free torch InstanceNorm2d
+    for pat, repl in _NCSNV2_KEY_RULES:
+      key = re.sub(pat, repl, key)
+    parts = key.split(".")
+    leaf, path = parts[-1], parts[:-1]
+    value = np.asarray(value)
+    if leaf == "weight":
+      if value.ndim == 4:  # conv
+        leaf, value = "kernel", np.transpose(value, (2, 3, 1, 0))
+        path = path + ["Conv_0"]  # NCSNConv wraps one anonymous nn.Conv
+      elif path and path[-1] == "embed":  # nn.Embedding -> nn.Embed
+        leaf = "embedding"
+      else:  # nn.Linear
+        leaf, value = "kernel", np.transpose(value)
+    elif leaf == "bias":  # all v2-family biases are conv biases
+      path = path + ["Conv_0"]
+    node = params
+    for p in path:
+      node = node.setdefault(p, {})
+    node[leaf] = value
+  return params
+
+
 def load_reference_checkpoint(path: str, config):
   """Migration path: load a reference torch checkpoint
   ({optimizer, model, ema, step}, utils.py:29-36) and return

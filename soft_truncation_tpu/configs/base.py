@@ -40,7 +40,10 @@ _CIFAR10 = dict(
         # rebuild extension: >0 splits the PC scan into bounded-length
         # device dispatches (watchdog/preemption safety at large batch);
         # 0 = one scan. Bit-identical either way.
-        chunk=0),
+        chunk=0,
+        # rebuild extension: step count for sampling.method='dpm_solver'
+        # (DPM-Solver++(2M), one score eval per step)
+        dpm_steps=50),
     eval=dict(
         begin_ckpt=9, end_ckpt=26, batch_size=200, enable_sampling=False,
         num_samples=50000, enable_loss=True, enable_bpd=False,

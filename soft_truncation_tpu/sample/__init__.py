@@ -2,6 +2,7 @@ from .sampling import (
     get_sampling_fn,
     get_pc_sampler,
     get_ode_sampler,
+    get_dpm_solver_sampler,
     register_predictor,
     register_corrector,
     get_predictor,
@@ -13,6 +14,7 @@ __all__ = [
     "get_sampling_fn",
     "get_pc_sampler",
     "get_ode_sampler",
+    "get_dpm_solver_sampler",
     "register_predictor",
     "register_corrector",
     "get_predictor",

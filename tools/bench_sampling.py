@@ -170,13 +170,74 @@ def run_one_ode(batch: int) -> dict:
   return rec
 
 
+def run_one_dpm(batch: int, steps: int = 50) -> dict:
+  """DPM-Solver++(2M) (beyond-parity fast sampler): fixed NFE = steps+1,
+  one score eval per step, so the random-weights timing IS the production
+  cost (unlike the adaptive ODE path)."""
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "c", "soft_truncation_tpu/configs/ve/CIFAR10/uncsnpp_st.py")
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  config = mod.get_config()
+  config.sampling.batch_size = batch
+  config.sampling.method = "dpm_solver"
+  config.sampling.dpm_steps = steps
+  config.tpu.compute_dtype = "bfloat16"
+  jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+  from soft_truncation_tpu.data import get_data_inverse_scaler
+  from soft_truncation_tpu.models import create_model
+  from soft_truncation_tpu.sample import get_sampling_fn
+  from soft_truncation_tpu.sde import get_sde
+  from soft_truncation_tpu.train import init_train_state
+  from soft_truncation_tpu.losses import get_optimizer
+
+  sde = get_sde(config)
+  model = create_model(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model,
+                           get_optimizer(config))
+  shape = (batch, 32, 32, 3)
+  sampler = jax.jit(
+      get_sampling_fn(config, sde, shape, get_data_inverse_scaler(config),
+                      config.sampling.truncation_time),
+      static_argnums=0)
+
+  t0 = time.perf_counter()
+  samples, nfe = sampler(model, state.params, jax.random.PRNGKey(1))
+  float(samples.mean())
+  compile_time = time.perf_counter() - t0
+
+  t0 = time.perf_counter()
+  samples, nfe = sampler(model, state.params, jax.random.PRNGKey(2))
+  float(samples.mean())
+  dt = time.perf_counter() - t0
+  nfe = int(nfe)
+
+  rec = {
+      "config": "ve/CIFAR10/uncsnpp_st", "sampler": "dpm_solver",
+      "steps": steps, "nfe": nfe, "batch": batch,
+      "compute_dtype": "bfloat16",
+      "compile_s": round(compile_time, 1),
+      "batch_s": round(dt, 2),
+      "ms_per_nfe": round(dt / nfe * 1000, 3),
+      "imgs_per_sec": round(batch / dt, 2),
+      "fid50k_min_per_chip": round(dt * (50000 / batch) / 60, 1),
+      "device": str(jax.devices()[0]),
+  }
+  print(json.dumps(rec))
+  return rec
+
+
 def main():
   args = sys.argv[1:]
   ode = "--ode" in args
-  args = [a for a in args if a != "--ode"]
+  dpm = "--dpm" in args
+  args = [a for a in args if not a.startswith("--")]
   batches = [int(a) for a in args] if args else (
-      [64, 128, 256] if ode else [256, 512, 1024])
-  recs = [(run_one_ode if ode else run_one)(b) for b in batches]
+      [64, 128, 256] if (ode or dpm) else [256, 512, 1024])
+  fn = run_one_dpm if dpm else (run_one_ode if ode else run_one)
+  recs = [fn(b) for b in batches]
   out = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "benchmarks", "sampling.jsonl")
   os.makedirs(os.path.dirname(out), exist_ok=True)

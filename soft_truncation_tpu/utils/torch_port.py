@@ -271,9 +271,19 @@ def load_reference_checkpoint(path: str, config):
   """
   import torch  # local import: torch is optional at runtime
 
+  name = config.model.name.lower()
+  if name == "ncsnpp":
+    porter = port_ncsnpp_state_dict
+  elif name == "ddpm":
+    porter = port_ddpm_state_dict
+  elif name in ("ncsnv2_64", "ncsn", "ncsnv2_128", "ncsnv2_256"):
+    porter = port_ncsnv2_state_dict
+  else:
+    raise ValueError(f"no porter for model {config.model.name}")
+
   ckpt = torch.load(path, map_location="cpu", weights_only=False)
   model_sd = {k: v.numpy() for k, v in ckpt["model"].items()}
-  params = port_ncsnpp_state_dict(model_sd, config)
+  params = porter(model_sd, config)
 
   ema_params = params
   ema = ckpt.get("ema")
@@ -287,15 +297,15 @@ def load_reference_checkpoint(path: str, config):
     for k, v in ckpt["model"].items():
       if k.endswith("sigmas"):
         continue  # registered buffer, not a parameter
-      if (k.endswith("all_modules.0.W")
-          and config.model.embedding_type == "fourier"):
+      if (k.endswith("all_modules.0.W") and name == "ncsnpp"
+          and config.model.get("embedding_type") == "fourier"):
         continue  # frozen Fourier W: absent from shadow_params
       assert si < len(shadow) and tuple(shadow[si].shape) == tuple(v.shape), (
           f"EMA shadow mismatch at {k}")
       ema_sd[k] = shadow[si]
       si += 1
     assert si == len(shadow), (si, len(shadow))
-    ema_params = port_ncsnpp_state_dict(ema_sd, config)
+    ema_params = porter(ema_sd, config)
 
   step = int(ckpt.get("step", 0))
   return params, ema_params, step

@@ -43,8 +43,18 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
     covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
   if np.iscomplexobj(covmean):
     if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
-      m = np.max(np.abs(covmean.imag))
-      raise ValueError(f"Imaginary component {m}")
+      # Rank-deficient product (e.g. far fewer samples than feature
+      # dims): regularize and retry instead of aborting a long eval run.
+      # The reference (cleanfid/fid.py:66-71) raises here; in the
+      # non-degenerate regime this branch is never taken, so results
+      # are identical.
+      offset = np.eye(sigma1.shape[0]) * eps
+      covmean, _ = scipy.linalg.sqrtm(
+          (sigma1 + offset).dot(sigma2 + offset), disp=False)
+      if (np.iscomplexobj(covmean)
+          and not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3)):
+        raise ValueError(
+            f"Imaginary component {np.max(np.abs(covmean.imag))}")
     covmean = covmean.real
   return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
                - 2 * np.trace(covmean))

@@ -22,6 +22,18 @@ def test_frechet_distance_identical_is_zero():
   assert frechet_distance(mu, cov, mu, cov) == pytest.approx(0.0, abs=1e-6)
 
 
+def test_frechet_distance_rank_deficient_does_not_raise():
+  """Far fewer samples than feature dims (rank-deficient covariance
+  product with a large imaginary sqrtm component): must regularize and
+  return a finite value instead of aborting a long eval run (the
+  reference, cleanfid/fid.py:66-71, raises here)."""
+  rng = np.random.RandomState(0)
+  mu1, cov1 = compute_stats(rng.normal(size=(8, 256)))
+  mu2, cov2 = compute_stats(rng.normal(loc=0.2, size=(8, 256)))
+  fid = frechet_distance(mu1, cov1, mu2, cov2)
+  assert np.isfinite(fid) and fid > 0
+
+
 def test_frechet_distance_known_value():
   """For isotropic Gaussians: FID = |mu1-mu2|^2 + D(s1 + s2 - 2 sqrt(s1 s2))."""
   d = 8

@@ -68,3 +68,33 @@ def test_ncsnv2_forward_parity(name):
   out = model.apply({"params": params}, x, y, train=False)
   want = np.transpose(gold["y"], (0, 2, 3, 1))
   np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-4)
+
+
+def test_ncsn_conditional_forward_parity():
+  """NCSNv1 ('ncsn') vs the intent-shimmed reference (the released model
+  is unconstructible — PARITY.md bugs #10-12; golden from
+  tools/make_ncsn_goldens.py with conditional InstanceNorm++)."""
+  gold = np.load(os.path.join(GOLD_DIR, "ncsn_golden.npz"))
+  config = make_config("ncsn", 16)
+  model = create_model(config)
+
+  x = jnp.asarray(np.transpose(gold["x"], (0, 2, 3, 1)))
+  y = jnp.asarray(gold["y_labels"])
+
+  variables = model.init({"params": jax.random.PRNGKey(0)}, x, y,
+                         train=False)
+  sd = {k[4:]: gold[k] for k in gold.files if k.startswith("sd::")}
+  ported = port_ncsnv2_state_dict(sd, config)
+
+  init_paths = {jax.tree_util.keystr(p) for p, _ in
+                jax.tree_util.tree_flatten_with_path(variables["params"])[0]}
+  ported_paths = {jax.tree_util.keystr(p) for p, _ in
+                  jax.tree_util.tree_flatten_with_path(ported)[0]}
+  assert init_paths == ported_paths, (
+      f"missing={sorted(init_paths - ported_paths)[:8]} "
+      f"extra={sorted(ported_paths - init_paths)[:8]}")
+
+  params = jax.tree.map(jnp.asarray, ported)
+  out = model.apply({"params": params}, x, y, train=False)
+  want = np.transpose(gold["y"], (0, 2, 3, 1))
+  np.testing.assert_allclose(np.asarray(out), want, rtol=2e-3, atol=2e-4)

@@ -72,22 +72,96 @@ def aggregate_trace(trace_dir: str, top: int = 25):
       name = str(e.get("args", {}).get("name", "")).lower()
       if "tpu" in name or "device" in name or "/device" in name:
         device_pids.add(e["pid"])
-  totals, counts = {}, {}
+  totals, counts, cats = {}, {}, {}
   wall = 0.0
   for e in events:
     if e.get("ph") != "X" or e.get("pid") not in device_pids:
       continue
     name = e.get("name", "?")
+    # real kernel events carry an hlo_category arg; envelope lanes
+    # (jit_*, while bodies, per-step frames) don't and would double-count
+    cat = (e.get("args", {}) or {}).get("hlo_category")
+    if not cat or cat == "while":  # 'while' = scan envelope, double-counts
+      continue
     dur = float(e.get("dur", 0.0))  # microseconds
     totals[name] = totals.get(name, 0.0) + dur
     counts[name] = counts.get(name, 0) + 1
+    # trust the compiler's own category, not the kernel name: e.g. XLA
+    # names conv+GN-stats+convert fusions 'convert_reduce_fusion' even
+    # though their hlo_category is 'convolution fusion'
+    cats[cat] = cats.get(cat, 0.0) + dur
     wall += dur
   ranked = sorted(totals.items(), key=lambda kv: -kv[1])[:top]
-  return [{"name": n, "total_us": round(d, 1), "calls": counts[n],
-           "frac": round(d / wall, 4)} for n, d in ranked], wall
+  by_cat = {k: round(v / wall, 4)
+            for k, v in sorted(cats.items(), key=lambda kv: -kv[1])}
+  return ([{"name": n, "total_us": round(d, 1), "calls": counts[n],
+            "frac": round(d / wall, 4)} for n, d in ranked], wall, by_cat)
+
+
+def build_sampler(batch_size: int, n_scales: int = 100):
+  """PC sampler (UNCSN++ VE), one scan of n_scales steps — the
+  per-model-eval profile is N-independent, so a short N keeps the
+  trace small."""
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "c", "soft_truncation_tpu/configs/ve/CIFAR10/uncsnpp_st.py")
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  config = mod.get_config()
+  config.sampling.batch_size = batch_size
+  config.model.num_scales = n_scales
+  config.tpu.compute_dtype = "bfloat16"
+  jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+  from soft_truncation_tpu.data import get_data_inverse_scaler
+  from soft_truncation_tpu.losses import get_optimizer
+  from soft_truncation_tpu.models import create_model
+  from soft_truncation_tpu.sample import get_sampling_fn
+  from soft_truncation_tpu.sde import get_sde
+  from soft_truncation_tpu.train import init_train_state
+
+  sde = get_sde(config)
+  model = create_model(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model,
+                           get_optimizer(config))
+  shape = (batch_size, 32, 32, 3)
+  sampler = jax.jit(
+      get_sampling_fn(config, sde, shape, get_data_inverse_scaler(config),
+                      config.sampling.truncation_time),
+      static_argnums=0)
+  return sampler, model, state.params, n_scales
+
+
+def main_sample():
+  args = [a for a in sys.argv[1:] if not a.startswith("--")]
+  batch = int(args[0]) if args else 64
+  sampler, model, params, n_scales = build_sampler(batch)
+  samples, nfe = sampler(model, params, jax.random.PRNGKey(1))  # compile
+  float(samples.mean())
+
+  trace_dir = "/tmp/st_profile_sample"
+  jax.profiler.start_trace(trace_dir)
+  t0 = time.perf_counter()
+  samples, nfe = sampler(model, params, jax.random.PRNGKey(2))
+  float(samples.mean())
+  dt = time.perf_counter() - t0
+  jax.profiler.stop_trace()
+
+  ranked, device_us, by_cat = aggregate_trace(trace_dir)
+  print(json.dumps({
+      "mode": "pc_sample", "batch": batch, "nfe": int(nfe),
+      "wall_s": round(dt, 3),
+      "ms_per_eval": round(dt / int(nfe) * 1000, 3),
+      "device_time_accounted_us": round(device_us, 0),
+      "by_hlo_category": by_cat,
+      "top_ops": ranked[:10],
+  }, indent=1))
 
 
 def main():
+  if "--sample" in sys.argv:
+    main_sample()
+    return
   args = [a for a in sys.argv[1:] if not a.startswith("--")]
   batch = int(args[0]) if args else 128
   if "--pallas-fir" in sys.argv:
@@ -110,13 +184,14 @@ def main():
   dt = time.perf_counter() - t0
   jax.profiler.stop_trace()
 
-  ranked, device_us = aggregate_trace(trace_dir)
+  ranked, device_us, by_cat = aggregate_trace(trace_dir)
   print(json.dumps({
       "batch": batch, "steps": 10,
       "wall_s": round(dt, 3),
       "imgs_per_sec": round(batch * 10 / dt, 1),
       "device_time_accounted_us": round(device_us, 0),
-      "top_ops": ranked,
+      "by_hlo_category": by_cat,
+      "top_ops": ranked[:10],
   }, indent=1))
 
 

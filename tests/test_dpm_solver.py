@@ -93,6 +93,52 @@ def test_vp_matches_exact_linear_flow():
   np.testing.assert_allclose(np.asarray(x), want, rtol=5e-3, atol=5e-3)
 
 
+class AnalyticSubVPGaussModel:
+  """subVP-path net (labels t*999, raw score output, no ddpm_score):
+  true score of N(0, s0^2 I) data is -x / (c^2 s0^2 + std^2)."""
+
+  def __init__(self, sde, s0):
+    self.sde, self.s02 = sde, s0 ** 2
+
+  def apply(self, variables, x, labels, train=False, rngs=None):
+    t = labels / 999.0
+    c = self.sde.marginal_prob(jnp.ones_like(x), t)[0]
+    std = self.sde.marginal_prob(jnp.zeros_like(x), t)[1]
+    var = c ** 2 * self.s02 + batch_mul(
+        std, jnp.ones((x.shape[0],))).reshape(
+        (-1,) + (1,) * (x.ndim - 1)) ** 2
+    return -x / var
+
+
+def test_rve_matches_exact_linear_flow():
+  """Reciprocal-VE (the UNCSN++ flagship SDE): affine marginal with
+  sigma labels — the generic data-prediction form must hold."""
+  config = ve_config()
+  override(config, {"training": dict(sde="reciprocal_vesde", eta=1e-4)})
+  sde = get_sde(config)
+  model = AnalyticVEModel(S0)  # labels are sigma(t) for RVE too
+  x, _ = _run(config, sde, model, steps=64)
+  key = jax.random.PRNGKey(3)
+  _, k_prior = jax.random.split(key)
+  x_T = sde.prior_sampling(k_prior, SHAPE)
+  want = np.asarray(x_T) * _exact_scale(sde, S0, sde.T, EPS)
+  np.testing.assert_allclose(np.asarray(x), want, rtol=5e-3, atol=5e-3)
+
+
+def test_subvp_matches_exact_linear_flow():
+  config = ve_config()
+  override(config, {"training": dict(sde="subvpsde", ddpm_score=False,
+                                     unbounded_parametrization=False)})
+  sde = get_sde(config)
+  model = AnalyticSubVPGaussModel(sde, S0)
+  x, _ = _run(config, sde, model, steps=64)
+  key = jax.random.PRNGKey(3)
+  _, k_prior = jax.random.split(key)
+  x_T = sde.prior_sampling(k_prior, SHAPE)
+  want = np.asarray(x_T) * _exact_scale(sde, S0, sde.T, EPS)
+  np.testing.assert_allclose(np.asarray(x), want, rtol=5e-3, atol=5e-3)
+
+
 def test_second_order_convergence():
   config = ve_config()
   sde = get_sde(config)

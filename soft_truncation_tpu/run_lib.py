@@ -94,6 +94,17 @@ def train(config, workdir, assetdir=None):
   timer = StepTimer(config.training.batch_size)
   profile_dir = config.tpu.get("profile_dir", None) if "tpu" in config else None
 
+  # The reference creates workdir/tensorboard but never instantiates a
+  # writer (run_lib.py:47-48, dead code); here it is functional.
+  tb_writer = None
+  try:
+    import tensorflow as tf
+    tb_dir = os.path.join(workdir, "tensorboard")
+    os.makedirs(tb_dir, exist_ok=True)
+    tb_writer = tf.summary.create_file_writer(tb_dir)
+  except Exception as e:  # tensorboard is observability, never fatal
+    log.warning("tensorboard writer unavailable: %s", e)
+
   key = jax.random.PRNGKey(config.seed)
   log.info("Starting training loop at step %d.", initial_step)
   for step in range(initial_step, config.training.n_iters + 1):
@@ -113,6 +124,14 @@ def train(config, workdir, assetdir=None):
       log.info("step: %d, training loss mean: %.5e, training loss std: "
                "%.5e (%.2f steps/s, %.0f imgs/s)", step, losses_np.mean(),
                losses_np.std(), sps, ips)
+      if tb_writer is not None:
+        import tensorflow as tf
+        with tb_writer.as_default(step=step):
+          tf.summary.scalar("train/loss_mean", float(losses_np.mean()))
+          tf.summary.scalar("train/loss_std", float(losses_np.std()))
+          tf.summary.scalar("perf/steps_per_sec", float(sps))
+          tf.summary.scalar("perf/imgs_per_sec", float(ips))
+        tb_writer.flush()
 
     if profile_dir and step == initial_step + 10:
       with trace(profile_dir):

@@ -118,6 +118,10 @@ def test_run_lib_train_and_evaluate_smoke():
     # the loop is range(0, n_iters + 1) like the reference (run_lib.py:70)
     assert int(state.step) == 4
     # preemption checkpoint written at step 2
+    # functional tensorboard writer (the reference's dir is dead code)
+    tb_events = [f for f in os.listdir(os.path.join(workdir, "tensorboard"))
+                 if "tfevents" in f]
+    assert tb_events, "no tensorboard event file written"
     assert os.path.exists(os.path.join(workdir, "checkpoints-meta",
                                        "checkpoint"))
     # resume: train again — should restore and continue from the checkpoint

@@ -93,10 +93,73 @@ def run_one(res: int, batch: int) -> dict:
   return rec
 
 
+def run_sample(res: int, batch: int, steps: int = 50) -> dict:
+  """High-res SAMPLING feasibility + cost: DPM-Solver++(2M) on the 256^2
+  (or 1024^2) UNCSN++ config, one chip, bf16. Fixed NFE = steps+1, so
+  the random-weights timing is the production cost."""
+  cfg_path = {
+      256: "soft_truncation_tpu/configs/ve/celebahq_256_uncsn.py",
+      1024: "soft_truncation_tpu/configs/ve/ffhq_1024_uncsn.py",
+  }[res]
+  spec = importlib.util.spec_from_file_location("c", cfg_path)
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  config = mod.get_config()
+  config.sampling.batch_size = batch
+  config.sampling.method = "dpm_solver"
+  config.sampling.dpm_steps = steps
+  config.tpu.compute_dtype = "bfloat16"
+  jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+
+  from soft_truncation_tpu.data import get_data_inverse_scaler
+  from soft_truncation_tpu.losses import get_optimizer
+  from soft_truncation_tpu.models import create_model
+  from soft_truncation_tpu.sample import get_sampling_fn
+  from soft_truncation_tpu.sde import get_sde
+  from soft_truncation_tpu.train import init_train_state
+
+  sde = get_sde(config)
+  model = create_model(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model,
+                           get_optimizer(config))
+  size = config.data.image_size
+  shape = (batch, size, size, 3)
+  sampler = jax.jit(
+      get_sampling_fn(config, sde, shape, get_data_inverse_scaler(config),
+                      config.sampling.truncation_time),
+      static_argnums=0)
+
+  t0 = time.perf_counter()
+  samples, nfe = sampler(model, state.params, jax.random.PRNGKey(1))
+  float(samples.mean())
+  compile_s = time.perf_counter() - t0
+  t0 = time.perf_counter()
+  samples, nfe = sampler(model, state.params, jax.random.PRNGKey(2))
+  float(samples.mean())
+  dt = time.perf_counter() - t0
+  nfe = int(nfe)
+
+  rec = {
+      "config": cfg_path.split("configs/")[-1], "mode": "dpm_sample",
+      "image_size": size, "batch": batch, "steps": steps, "nfe": nfe,
+      "compute_dtype": "bfloat16", "compile_s": round(compile_s, 1),
+      "batch_s": round(dt, 2), "ms_per_nfe": round(dt / nfe * 1000, 2),
+      "imgs_per_sec": round(batch / dt, 3),
+      "fid50k_min_per_chip": round(dt * (50000 / batch) / 60, 1),
+      "device": str(jax.devices()[0]),
+  }
+  print(json.dumps(rec), flush=True)
+  return rec
+
+
 def main():
-  res = int(sys.argv[1]) if len(sys.argv) > 1 else 256
-  batch = int(sys.argv[2]) if len(sys.argv) > 2 else (8 if res == 256 else 1)
-  rec = run_one(res, batch)
+  args = [a for a in sys.argv[1:] if not a.startswith("--")]
+  res = int(args[0]) if args else 256
+  batch = int(args[1]) if len(args) > 1 else (8 if res == 256 else 1)
+  if "--sample" in sys.argv:
+    rec = run_sample(res, batch)
+  else:
+    rec = run_one(res, batch)
   out = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "benchmarks", "highres.jsonl")
   os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -51,3 +51,20 @@ def test_central_crop_parity():
   ours = our_ds.central_crop(img, 140).numpy()
   want = ref_ds.central_crop(img, 140).numpy()
   np.testing.assert_array_equal(ours, want)
+
+
+def test_clean_resize_parity_vs_reference_cleanfid():
+  """FID is sensitive to the 'clean' PIL-bicubic per-channel float32
+  resize (SURVEY.md hard part); ours must match the reference's
+  cleanfid build_resizer('clean') bit-for-bit."""
+  for _mod in ("requests",):
+    sys.modules.setdefault(_mod, types.ModuleType(_mod))
+  from cleanfid.resize import build_resizer  # reference (path added above)
+
+  from soft_truncation_tpu.eval.inception import clean_resize
+
+  ref_fn = build_resizer("clean")
+  imgs = np.stack([_img(64, 64, seed=s) for s in range(3)])
+  ours = clean_resize(imgs, size=299)
+  want = np.stack([ref_fn(imgs[i]) for i in range(len(imgs))])
+  np.testing.assert_array_equal(ours, want.astype(np.float32))

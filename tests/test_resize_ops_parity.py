@@ -68,3 +68,54 @@ def test_clean_resize_parity_vs_reference_cleanfid():
   ours = clean_resize(imgs, size=299)
   want = np.stack([ref_fn(imgs[i]) for i in range(len(imgs))])
   np.testing.assert_array_equal(ours, want.astype(np.float32))
+
+
+def test_fid_kid_parity_vs_reference_cleanfid():
+  """Our FID/KID math vs the reference's own cleanfid functions
+  (cleanfid/fid.py:27-107) on the same feature matrices."""
+  # cleanfid/fid.py's import chain needs torchvision model classes, but
+  # frechet_distance/kernel_distance are pure numpy/scipy: execute just
+  # those two reference function definitions.
+  import ast
+  import logging
+  import types as _types
+
+  from scipy import linalg
+
+  src = open("/root/reference/cleanfid/fid.py").read()
+  tree = ast.parse(src)
+  wanted = [n for n in tree.body
+            if isinstance(n, ast.FunctionDef)
+            and n.name in ("frechet_distance", "kernel_distance")]
+  assert len(wanted) == 2
+  ns = {"np": np, "linalg": linalg, "logging": logging}
+  exec(compile(ast.Module(body=wanted, type_ignores=[]),
+               "/root/reference/cleanfid/fid.py", "exec"), ns)
+  ref_fid = _types.SimpleNamespace(**ns)
+
+  from soft_truncation_tpu.eval.metrics import (compute_stats,
+                                                frechet_distance,
+                                                kernel_distance)
+
+  rng = np.random.RandomState(3)
+  f1 = rng.normal(size=(700, 32)).astype(np.float64)
+  f2 = rng.normal(loc=0.25, scale=1.1, size=(650, 32)).astype(np.float64)
+
+  mu1, c1 = compute_stats(f1)
+  mu2, c2 = compute_stats(f2)
+  ours_fid = frechet_distance(mu1, c1, mu2, c2)
+  want_fid = ref_fid.frechet_distance(mu1, c1, mu2, c2)
+  np.testing.assert_allclose(ours_fid, want_fid, rtol=1e-10)
+
+  # KID is a Monte-Carlo subset estimator; the reference draws from the
+  # GLOBAL np.random while ours uses a seeded RandomState(0). Pin the
+  # reference to the same stream so the subset indices coincide exactly.
+  ours_kid = kernel_distance(f1, f2)
+  rs = np.random.RandomState(0)
+  orig_choice = np.random.choice
+  np.random.choice = rs.choice
+  try:
+    want_kid = ref_fid.kernel_distance(f1, f2)
+  finally:
+    np.random.choice = orig_choice
+  np.testing.assert_allclose(ours_kid, want_kid, rtol=1e-10)

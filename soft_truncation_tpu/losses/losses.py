@@ -50,7 +50,11 @@ def get_optimizer(config) -> optax.GradientTransformation:
 
   Matches reference semantics: clip on raw grads (losses.py:54-55), warmup
   rescales the lr (losses.py:51-53), Adam b2=0.999 / AdamW b2=0.99
-  (losses.py:32-36).
+  (losses.py:32-36). Numerically pinned against the torch stack in
+  tests/test_optimizer_parity.py. One documented deviation: torch Adam
+  applies weight decay as COUPLED L2 (into the grad before the moments);
+  here it is decoupled — irrelevant in practice since every released
+  config sets optim.weight_decay = 0.
   """
   name = config.optim.optimizer
   chain = []

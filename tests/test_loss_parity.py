@@ -43,6 +43,9 @@ CASES = {
                        dict(dequantization="uniform")),
     "ve_is": (dict(fir=True, scale_by_sigma=True),
               dict(sde="vesde", importance_sampling=True), {}),
+    # RVE: the UNCSN++ flagship SDE; closes the last score-wrapping path
+    "rve_is": (dict(fir=True, scale_by_sigma=True),
+               dict(sde="reciprocal_vesde", importance_sampling=True), {}),
 }
 
 
@@ -60,7 +63,7 @@ def make_config(model_ov, train_ov, data_ov):
   model.update(model_ov)
   training = dict(continuous=True, truncation_time=1e-5,
                   stabilizing_constant=1e-3, ddpm_score=False,
-                  unbounded_parametrization=False,
+                  unbounded_parametrization=False, eta=1e-4,
                   importance_sampling=False, likelihood_weighting=False,
                   reconstruction_loss=False, reduce_mean=True)
   training.update(train_ov)

@@ -55,6 +55,10 @@ CASES = {
     # Our subVP loss support is a tested superset (tests/test_sde.py).
     "ve_is": (dict(fir=True, scale_by_sigma=True),
               dict(sde="vesde", importance_sampling=True), {}),
+    # RVE: the UNCSN++ flagship SDE; exercises the reciprocal-VE score
+    # wrapping (sigma labels) and its IS time sampler end to end
+    "rve_is": (dict(fir=True, scale_by_sigma=True),
+               dict(sde="reciprocal_vesde", importance_sampling=True), {}),
 }
 
 

@@ -20,7 +20,6 @@ Development tooling only; artifact = tests/golden/ncsn_golden.npz.
 Usage: python tools/make_ncsn_goldens.py
 """
 
-import functools
 import os
 import sys
 

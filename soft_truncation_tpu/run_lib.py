@@ -8,7 +8,6 @@ device->host fetch only on logging steps.
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 import time

@@ -18,8 +18,7 @@ the intended continuous-time discretization (sampling.py:205 supports it).
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

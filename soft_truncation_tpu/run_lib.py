@@ -104,15 +104,24 @@ def train(config, workdir, assetdir=None):
   except Exception as e:  # tensorboard is observability, never fatal
     log.warning("tensorboard writer unavailable: %s", e)
 
+  dequant = config.data.dequantization == "uniform"
+
+  @jax.jit
+  def _preprocess(batch, k):
+    # one fused device program for dequantization + scaling: running these
+    # eagerly costs several small dispatches per step (measured ~20% of
+    # end-to-end wall on a v5e, see benchmarks/ROOFLINE.md)
+    if dequant:
+      batch = (255.0 * batch + jax.random.uniform(k, batch.shape)) / 256.0
+    return scaler(batch)
+
   key = jax.random.PRNGKey(config.seed)
   log.info("Starting training loop at step %d.", initial_step)
   for step in range(initial_step, config.training.n_iters + 1):
     batch, train_iter = datasets.get_batch(config, train_iter, train_ds)
     key, k_dq, k_step = jax.random.split(key, 3)
-    if config.data.dequantization == "uniform":
-      batch = (255.0 * batch + jax.random.uniform(k_dq, batch.shape)) / 256.0
-    batch = scaler(batch)
     batch = shard_batch(mesh, batch)
+    batch = _preprocess(batch, k_dq)
 
     state, losses = jitted_step(state, batch, k_step)
     timer.tick()

@@ -72,3 +72,27 @@ def test_config_train_step_traces(rel):
     expect_b //= 2
   assert losses.shape == (expect_b,), (rel, losses.shape)
   assert new_state.params is not None
+
+
+@pytest.mark.parametrize("rel", CONFIG_FILES)
+def test_config_sampler_traces(rel):
+  """The eval path too: each config's CONFIGURED sampler (method,
+  predictor, corrector, truncation) must trace end to end."""
+  from soft_truncation_tpu.sample import get_sampling_fn
+
+  config = _load(rel)
+  sde = get_sde(config)
+  model = create_model(config)
+  tx = get_optimizer(config)
+  params = jax.eval_shape(
+      lambda key: init_train_state(key, config, model, tx),
+      jax.random.PRNGKey(0)).params
+
+  size = config.data.image_size
+  shape = (2, size, size, config.data.num_channels)
+  config.sampling.chunk = 0  # single-scan form for one eval_shape call
+  sampler = get_sampling_fn(config, sde, shape, lambda x: x,
+                            eps=config.sampling.truncation_time)
+  samples, _ = jax.eval_shape(lambda p, k: sampler(model, p, k),
+                              params, jax.ShapeDtypeStruct((2,), jnp.uint32))
+  assert samples.shape == shape, (rel, samples.shape)

@@ -5,6 +5,7 @@ the models train on (LSUN crop_resize, CelebA-HQ resize_small +
 central_crop, CelebA 140-crop), so they must match exactly.
 """
 
+import os
 import sys
 import types
 
@@ -20,6 +21,9 @@ from soft_truncation_tpu.data import datasets as our_ds
 for _mod in ("tensorflow_datasets", "natsort", "torchvision",
              "torchvision.transforms"):
   sys.modules.setdefault(_mod, types.ModuleType(_mod))
+if not os.path.isdir("/root/reference"):
+  pytest.skip("reference checkout not mounted",
+              allow_module_level=True)
 sys.path.insert(0, "/root/reference")
 import datasets as ref_ds  # noqa: E402  (reference module, CPU TF ops only)
 

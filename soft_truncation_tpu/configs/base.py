@@ -146,6 +146,10 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # 'bfloat16' runs GroupNorm statistics in bf16 too (+~9% step time);
       # default keeps norms in f32
       norm_dtype="float32",
+      # persistent XLA compilation cache: big sampler/high-res programs
+      # take minutes to compile (3-25 min at 256^2+); with a cache dir the
+      # second run of the same program loads in seconds. '' disables.
+      compilation_cache_dir="~/.cache/soft_truncation_tpu_xla",
   ))
   return config
 

@@ -47,12 +47,27 @@ def _dump_config(config, workdir: str) -> None:
       f.write("\n\n")
 
 
+def _setup_compilation_cache(config) -> None:
+  """Persistent XLA compilation cache (config.tpu.compilation_cache_dir):
+  high-res/sampler programs compile for minutes; cached reloads take
+  seconds. Set the dir to '' to disable."""
+  cache_dir = (config.get("tpu", {}) or {}).get("compilation_cache_dir", "")
+  if not cache_dir:
+    return
+  import jax
+  cache_dir = os.path.expanduser(cache_dir)
+  os.makedirs(cache_dir, exist_ok=True)
+  jax.config.update("jax_compilation_cache_dir", cache_dir)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
 def main(argv):
   del argv
   from . import run_lib
 
   os.makedirs(FLAGS.workdir, exist_ok=True)
   _dump_config(FLAGS.config, FLAGS.workdir)
+  _setup_compilation_cache(FLAGS.config)
 
   if FLAGS.mode == "train":
     _setup_logging(FLAGS.workdir, "stdout.txt")

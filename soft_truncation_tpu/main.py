@@ -51,14 +51,9 @@ def _setup_compilation_cache(config) -> None:
   """Persistent XLA compilation cache (config.tpu.compilation_cache_dir):
   high-res/sampler programs compile for minutes; cached reloads take
   seconds. Set the dir to '' to disable."""
-  cache_dir = (config.get("tpu", {}) or {}).get("compilation_cache_dir", "")
-  if not cache_dir:
-    return
-  import jax
-  cache_dir = os.path.expanduser(cache_dir)
-  os.makedirs(cache_dir, exist_ok=True)
-  jax.config.update("jax_compilation_cache_dir", cache_dir)
-  jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+  from .utils.compile_cache import setup_compilation_cache
+  setup_compilation_cache(
+      (config.get("tpu", {}) or {}).get("compilation_cache_dir", ""))
 
 
 def main(argv):

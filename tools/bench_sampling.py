@@ -15,6 +15,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
+setup_compilation_cache()
+
 
 def run_one(batch: int) -> dict:
   import importlib.util

@@ -23,6 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
+setup_compilation_cache()
+
 V5E_PEAK_FLOPS = 197e12  # bf16
 V5E_PEAK_HBM = 819e9
 

@@ -24,6 +24,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
+setup_compilation_cache()
+
 
 def build_step(batch_size: int):
   from soft_truncation_tpu.losses import get_optimizer

@@ -56,6 +56,11 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
         raise ValueError(
             f"Imaginary component {np.max(np.abs(covmean.imag))}")
     covmean = covmean.real
+  if not np.isfinite(covmean).all():
+    # Both sqrtm attempts produced non-finite entries: surface it instead
+    # of silently returning a nan/inf FID at the end of a long eval run.
+    raise ValueError("sqrtm(sigma1 @ sigma2) is non-finite even after "
+                     "eps-regularization; covariance inputs are degenerate")
   return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
                - 2 * np.trace(covmean))
 

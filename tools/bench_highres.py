@@ -23,8 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
-setup_compilation_cache()
+# Gate the persistent compile cache so cold-compile timings are possible
+# (--no-compile-cache or ST_TPU_NO_COMPILE_CACHE=1); records note the state.
+COMPILE_CACHE = ("--no-compile-cache" not in sys.argv
+                 and os.environ.get("ST_TPU_NO_COMPILE_CACHE", "") != "1")
+if COMPILE_CACHE:
+  from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
+  setup_compilation_cache()
 
 
 def run_one(res: int, batch: int) -> dict:
@@ -85,6 +90,7 @@ def run_one(res: int, batch: int) -> dict:
   rec = {
       "config": cfg_path.split("configs/")[-1], "image_size": size,
       "batch": batch, "remat": True, "compute_dtype": "bfloat16",
+      "compile_cache": "on" if COMPILE_CACHE else "off",
       "compile_s": round(compile_s, 1),
       "peak_hbm_gb": round(peak / 2**30, 2) if peak else None,
       "args_hbm_gb": round(args_mem / 2**30, 2),
@@ -145,7 +151,9 @@ def run_sample(res: int, batch: int, steps: int = 50) -> dict:
   rec = {
       "config": cfg_path.split("configs/")[-1], "mode": "dpm_sample",
       "image_size": size, "batch": batch, "steps": steps, "nfe": nfe,
-      "compute_dtype": "bfloat16", "compile_s": round(compile_s, 1),
+      "compute_dtype": "bfloat16",
+      "compile_cache": "on" if COMPILE_CACHE else "off",
+      "compile_s": round(compile_s, 1),
       "batch_s": round(dt, 2), "ms_per_nfe": round(dt / nfe * 1000, 2),
       "imgs_per_sec": round(batch / dt, 3),
       "fid50k_min_per_chip": round(dt * (50000 / batch) / 60, 1),

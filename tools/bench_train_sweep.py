@@ -23,8 +23,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
-setup_compilation_cache()
+# Gate the persistent compile cache so cold-compile timings are possible
+# (--no-compile-cache or ST_TPU_NO_COMPILE_CACHE=1); records note the state.
+COMPILE_CACHE = ("--no-compile-cache" not in sys.argv
+                 and os.environ.get("ST_TPU_NO_COMPILE_CACHE", "") != "1")
+if COMPILE_CACHE:
+  from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
+  setup_compilation_cache()
 
 V5E_PEAK_FLOPS = 197e12  # bf16
 V5E_PEAK_HBM = 819e9
@@ -103,6 +108,7 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str) -> dict:
       "imgs_per_sec": round(batch * iters / dt, 1),
       "mfu": round(flops / step_s / V5E_PEAK_FLOPS, 4),
       "hbm_frac": round(nbytes / step_s / V5E_PEAK_HBM, 4),
+      "compile_cache": "on" if COMPILE_CACHE else "off",
       "flops_per_step": flops,
       "hbm_bytes_per_step": nbytes,
       "device": str(jax.devices()[0]),
@@ -112,7 +118,8 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str) -> dict:
 
 
 def main():
-  kv = dict(a.split("=", 1) for a in sys.argv[1:])
+  kv = dict(a.split("=", 1) for a in sys.argv[1:]
+            if not a.startswith("--"))
   rec = run_one(int(kv.get("batch", 128)), kv.get("remat", "none"),
                 kv.get("fir", "0") == "1", kv.get("config", "flagship"))
   out = os.path.join(os.path.dirname(os.path.dirname(

@@ -117,3 +117,72 @@ def test_loss_parity(name, monkeypatch):
 
   np.testing.assert_allclose(np.asarray(losses), gold["losses"],
                              rtol=2e-3, atol=1e-4)
+
+
+# Mixed IS+DDPM step (reference losses.py:295-320, step_fn_mixed): golden
+# pins the full num_micro=2 step through make_train_step — the micro-batch
+# slice layout (per-micro [IS-half | DDPM-half]), the ddpm_weight combine,
+# and the balanced stop-gradient ratio rescale computed per micro-batch.
+MIXED_CASES = ["vp_mixed", "vp_mixed_balanced"]
+
+
+@pytest.mark.parametrize("name", MIXED_CASES)
+def test_mixed_step_parity(name, monkeypatch):
+  from soft_truncation_tpu.losses import get_optimizer
+  from soft_truncation_tpu.train import init_train_state, make_train_step
+
+  gold = np.load(os.path.join(GOLD_DIR, f"mixed_golden_{name}.npz"))
+  config = make_config(
+      DDPMPP,
+      dict(sde="vpsde", ddpm_score=True,
+           importance_sampling=bool(gold["cfg_is"])), {})
+  override(config, {"training": dict(st=False, mixed=True,
+                                     ddpm_weight=float(gold["ddpm_weight"]),
+                                     balanced=bool(gold["balanced"])),
+                    "model": dict(dropout=0.0),
+                    "optim": dict(num_micro_batch=int(gold["num_micro"]))})
+
+  sde = get_sde(config)
+  model = create_model(config)
+  tx = get_optimizer(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model, tx,
+                           input_shape=(2, 16, 16, 3))
+
+  batch = jnp.asarray(np.transpose(gold["batch"], (0, 2, 3, 1)))  # NHWC
+  sd = {k[4:]: gold[k] for k in gold.files if k.startswith("sd::")}
+  params = jax.tree.map(jnp.asarray,
+                        port_ncsnpp_state_dict(sd, config))
+  state = state.replace(params=params)
+
+  # pinned draws, reference call order (is0, dd0, is1, dd1)
+  tz = [(jnp.asarray(gold[f"t{i}"]), jnp.asarray(gold[f"Z{i}"]))
+        for i in range(4)]
+  zs = [jnp.asarray(np.transpose(gold[f"z{i}"], (0, 2, 3, 1)))
+        for i in range(4)]
+  tz_iter, z_iter = iter(tz), iter(zs)
+  monkeypatch.setattr(
+      type(sde), "sample_diffusion_time",
+      lambda self, key, b, t_min, importance_sampling: next(tz_iter))
+  orig_normal = jax.random.normal
+  monkeypatch.setattr(jax.random, "normal",
+                      lambda key, shape=(), *a, **k: next(z_iter)
+                      if shape == zs[0].shape
+                      else orig_normal(key, shape, *a, **k))
+  # run scan as a Python loop so the pinned iterators advance per
+  # micro-batch (lax.scan traces its body once)
+  def py_scan(f, init, xs, **kw):
+    n = jax.tree.leaves(xs)[0].shape[0]
+    carry, ys = init, []
+    for i in range(n):
+      carry, y = f(carry, jax.tree.map(lambda a: a[i], xs))
+      ys.append(y)
+    return carry, jnp.stack(ys)
+  monkeypatch.setattr(jax.lax, "scan", py_scan)
+
+  train_step = make_train_step(config, sde, model, tx)
+  new_state, losses = train_step(state, batch, jax.random.PRNGKey(1))
+
+  assert losses.shape == gold["losses"].shape  # layout: [micro0 | micro1]
+  np.testing.assert_allclose(np.asarray(losses), gold["losses"],
+                             rtol=2e-3, atol=1e-4)
+  assert int(new_state.step) == 1

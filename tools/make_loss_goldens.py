@@ -84,6 +84,100 @@ def full_config(model_ov, train_ov, data_ov):
   return config
 
 
+# Mixed IS+DDPM step cases (reference losses.py:295-320, step_fn_mixed),
+# flag combos from the two released mixed configs:
+#   ddpmpp_fid_st_deepest.py: importance_sampling=False, w=100, unbalanced
+#   ddpmpp_nll_st_deepest.py: importance_sampling=True, w=0.01, balanced
+# name: (config importance_sampling, ddpm_weight, balanced)
+MIXED_CASES = {
+    "vp_mixed": (False, 100.0, False),
+    "vp_mixed_balanced": (True, 0.01, True),
+}
+MIXED_BATCH = 8
+MIXED_NUM_MICRO = 2
+
+
+def make_mixed_goldens():
+  """Emulates step_fn_mixed's loss computation (losses.py:295-316) with
+  pinned randomness: per micro-batch k, an IS-half and a DDPM-half loss
+  over the reference's exact slice layout, combined with ddpm_weight and
+  the optional per-micro balanced rescale (stop-gradient ratio mean).
+  The weighting branch inside loss_fn follows config.training.
+  importance_sampling (NOT the per-call argument) — inert for all
+  released mixed configs since likelihood_weighting=False makes the IS
+  and default formulas identical."""
+  orig_rand, orig_randn_like = torch.rand, torch.randn_like
+  for name, (cfg_is, ddpm_weight, balanced) in MIXED_CASES.items():
+    config = full_config(DDPMPP,
+                         dict(sde="vpsde", ddpm_score=True,
+                              importance_sampling=cfg_is),
+                         {})
+
+    torch.manual_seed(0)
+    model = ncsnpp.NCSNpp(config, sde=None)
+    model.eval()
+    sde = ref_sde_lib.get_sde(config, state=None)
+
+    rng = np.random.RandomState(23)
+    batch_np = (rng.rand(MIXED_BATCH, *BATCH[1:]).astype(np.float32) * 2 - 1)
+    batch = torch.from_numpy(batch_np)
+    half = MIXED_BATCH // (2 * MIXED_NUM_MICRO)  # examples per loss_fn call
+    us = [rng.rand(half).astype(np.float32) for _ in range(4)]
+    zs = [rng.randn(half, *BATCH[1:]).astype(np.float32) for _ in range(4)]
+
+    u_iter, z_iter = iter(us), iter(zs)
+    torch.rand = lambda *s, **k: torch.from_numpy(next(u_iter))
+    torch.randn_like = lambda x: torch.from_numpy(next(z_iter))
+    try:
+      loss_fn = ref_losses.get_sde_loss_fn(config, sde, train=False)
+      bs, nm = MIXED_BATCH, MIXED_NUM_MICRO
+      losses_ = torch.zeros(bs // 2)
+      with torch.no_grad():
+        for k in range(nm):
+          lo = bs // nm * k
+          mid = lo + bs // (2 * nm)
+          hi = bs // nm * (k + 1)
+          losses_is = loss_fn(model, batch[lo:mid],
+                              importance_sampling=True, t_min=T_MIN)
+          losses_ddpm = loss_fn(model, batch[mid:hi],
+                                importance_sampling=False, t_min=T_MIN)
+          if balanced:
+            scale = torch.mean(losses_is / losses_ddpm).detach().item()
+            losses = losses_is + ddpm_weight * scale * losses_ddpm
+          else:
+            losses = losses_is + ddpm_weight * losses_ddpm
+          losses_[bs // nm // 2 * k: bs // nm // 2 * (k + 1)] = losses
+      # re-derive the 4 (t, Z) pairs the pinned draws produced, call order
+      # (is0, dd0, is1, dd1), for injection into the JAX side
+      tzs = []
+      u_iter = iter(us)
+      for k in range(nm):
+        for is_arg in (True, False):
+          t, Z = sde.get_diffusion_time(config, half, "cpu", T_MIN,
+                                        importance_sampling=is_arg)
+          tzs.append((t.numpy() if torch.is_tensor(t) else np.asarray(t),
+                      Z.numpy() if torch.is_tensor(Z) else np.asarray(Z)))
+    finally:
+      torch.rand, torch.randn_like = orig_rand, orig_randn_like
+
+    out = {
+        "batch": batch_np,
+        "cfg_is": np.asarray(cfg_is),
+        "ddpm_weight": np.asarray(ddpm_weight),
+        "balanced": np.asarray(balanced),
+        "num_micro": np.asarray(MIXED_NUM_MICRO),
+        "t_min": np.asarray(T_MIN),
+        "losses": losses_.numpy(),
+    }
+    for i, ((t, Z), z) in enumerate(zip(tzs, zs)):
+      out[f"t{i}"], out[f"Z{i}"], out[f"z{i}"] = t, Z, z
+    for k, v in model.state_dict().items():
+      out["sd::" + k] = v.numpy()
+    path = f"tests/golden/mixed_golden_{name}.npz"
+    np.savez(path, **out)
+    print(f"wrote {path}  losses={losses_.numpy()}")
+
+
 def main():
   orig_rand, orig_randn_like = torch.rand, torch.randn_like
   for name, (model_ov, train_ov, data_ov) in CASES.items():
@@ -135,3 +229,4 @@ def main():
 
 if __name__ == "__main__":
   main()
+  make_mixed_goldens()

@@ -53,6 +53,84 @@ def test_converter_and_flax_forward_match_torch(oracle):
                              rtol=1e-4, atol=1e-6)
 
 
+def _to_torchscript_layout(sd, keep_gamma=True):
+  """Rename a torchvision-layout state dict into the NVIDIA torchscript
+  layout (layers.mixed_4.tower.conv_1.bn.bias ...), using the inverses of
+  the converter's published tables. Keys absent from the torchscript file
+  (AuxLogits, num_batches_tracked, optionally BN gamma) are dropped."""
+  from convert_inception_weights import TS_TOP, TS_BRANCH
+
+  top_inv = {v: k for k, v in TS_TOP.items()}
+  out = {}
+  for key, v in sd.items():
+    parts = key.split(".")
+    if parts[0] == "AuxLogits" or parts[-1] == "num_batches_tracked":
+      continue
+    if not keep_gamma and parts[-2:] == ["bn", "weight"]:
+      continue  # TF-2015 BN has no scale
+    if parts[0] == "fc":
+      out["output." + ".".join(parts[1:])] = v
+      continue
+    top = parts[0]
+    leaf = ".".join(parts[-2:])
+    if top.startswith("Conv2d"):
+      out[f"layers.{top_inv[top]}.{leaf}"] = v
+    else:
+      branch_inv = {b: m for m, b in TS_BRANCH[top].items()}
+      out[f"layers.{top_inv[top]}.{branch_inv[parts[1]]}.{leaf}"] = v
+  return out
+
+
+def test_torchscript_layout_converts_identically(oracle):
+  """The NVIDIA torchscript naming (clean-mode default extractor,
+  cleanfid/features.py:13-47) must convert to the exact same npz as the
+  pytorch-FID naming — forward parity is then inherited from
+  test_converter_and_flax_forward_match_torch."""
+  from convert_inception_weights import convert
+
+  sd = dict(oracle.state_dict())
+  ts_sd = _to_torchscript_layout(sd, keep_gamma=True)
+  with tempfile.TemporaryDirectory() as tmp:
+    npz_tv, npz_ts = os.path.join(tmp, "tv.npz"), os.path.join(tmp, "ts.npz")
+    convert(sd, npz_tv)
+    convert(ts_sd, npz_ts)
+    tv, ts = np.load(npz_tv), np.load(npz_ts)
+    assert set(tv.files) == set(ts.files)
+    for name in tv.files:
+      np.testing.assert_array_equal(tv[name], ts[name], err_msg=name)
+
+
+def test_torchscript_layout_without_gamma_fills_ones(oracle):
+  """TF-2015 BatchNorms carry no scale; the converter must fill
+  bn_scale = 1 so load_params_npz covers every Flax leaf."""
+  from convert_inception_weights import convert
+  from soft_truncation_tpu.eval.inception_v3 import load_params_npz
+
+  ts_sd = _to_torchscript_layout(dict(oracle.state_dict()),
+                                 keep_gamma=False)
+  with tempfile.TemporaryDirectory() as tmp:
+    npz = os.path.join(tmp, "w.npz")
+    convert(ts_sd, npz)
+    flat = np.load(npz)
+    scales = [n for n in flat.files if n.endswith("bn_scale")]
+    assert scales
+    for name in scales:
+      np.testing.assert_array_equal(flat[name], np.ones_like(flat[name]))
+    load_params_npz(npz)  # loads into the nested layout without error
+
+
+def test_converter_raises_on_unknown_keys():
+  from convert_inception_weights import convert
+
+  with tempfile.TemporaryDirectory() as tmp:
+    with pytest.raises(ValueError, match="unrecognized torchscript"):
+      convert({"layers.bogus.conv.weight": np.zeros((3, 3, 3, 3))},
+              os.path.join(tmp, "w.npz"))
+    with pytest.raises(ValueError, match="unrecognized weight keys"):
+      convert({"something.else.entirely": np.zeros((4,))},
+              os.path.join(tmp, "w.npz"))
+
+
 def test_converter_skips_aux_and_covers_all_params(oracle):
   """Every Flax param leaf must be produced by the converter (no silently
   default-initialized leaves), and AuxLogits keys must be dropped."""

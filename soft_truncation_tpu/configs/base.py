@@ -150,6 +150,13 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # take minutes to compile (3-25 min at 256^2+); with a cache dir the
       # second run of the same program loads in seconds. '' disables.
       compilation_cache_dir="~/.cache/soft_truncation_tpu_xla",
+      # optimizer/EMA byte diet (the only f32 state traffic left on an
+      # HBM-bound step, ~2.3 GB/step at 62M params — ROOFLINE.md):
+      # 'bfloat16' stores the EMA shadow / Adam first moment in bf16
+      # (update math stays f32). Measured effect + keep/revert decision
+      # in benchmarks/ROOFLINE.md.
+      ema_dtype="float32",
+      adam_mu_dtype="float32",
   ))
   return config
 

@@ -57,21 +57,31 @@ def get_optimizer(config) -> optax.GradientTransformation:
   config sets optim.weight_decay = 0.
   """
   name = config.optim.optimizer
+  # HBM byte diet: the Adam first moment may be stored in bf16
+  # (config.tpu.adam_mu_dtype) — optax keeps the update math in f32. The
+  # second moment stays f32: its 1e-3-relative increments are below bf16
+  # resolution (2^-8) and would freeze.
+  mu_dtype = (config.tpu.get("adam_mu_dtype", "float32")
+              if "tpu" in config else "float32")
+  mu_dtype = None if mu_dtype in ("float32", None, "") else mu_dtype
   chain = []
   if config.optim.grad_clip >= 0:
     chain.append(optax.clip_by_global_norm(config.optim.grad_clip))
   if name == "Adam":
     if config.optim.get("amsgrad", False):
       chain.append(optax.scale_by_amsgrad(b1=config.optim.beta1, b2=0.999,
-                                          eps=config.optim.eps))
+                                          eps=config.optim.eps,
+                                          mu_dtype=mu_dtype))
     else:
       chain.append(optax.scale_by_adam(b1=config.optim.beta1, b2=0.999,
-                                       eps=config.optim.eps))
+                                       eps=config.optim.eps,
+                                       mu_dtype=mu_dtype))
     if config.optim.weight_decay:
       chain.append(optax.add_decayed_weights(config.optim.weight_decay))
   elif name == "AdamW":
     chain.append(optax.scale_by_adam(b1=config.optim.beta1, b2=0.99,
-                                     eps=config.optim.eps))
+                                     eps=config.optim.eps,
+                                     mu_dtype=mu_dtype))
     chain.append(optax.add_decayed_weights(config.optim.weight_decay))
   else:
     raise NotImplementedError(f"Optimizer {name} not supported yet!")

@@ -15,7 +15,15 @@ import jax.numpy as jnp
 
 def ema_update(ema_params, new_params, decay: float, num_updates):
   """One EMA step with warmup. ``num_updates`` is the post-increment count
-  (reference models/ema.py:43-51)."""
+  (reference models/ema.py:43-51).
+
+  The shadow may be stored in a reduced dtype (config.tpu.ema_dtype,
+  HBM byte diet); the update math always runs in f32 and the result is
+  cast back to the storage dtype."""
   d = jnp.minimum(decay, (1.0 + num_updates) / (10.0 + num_updates))
-  return jax.tree.map(lambda e, p: e - (1.0 - d) * (e - p),
-                      ema_params, new_params)
+
+  def upd(e, p):
+    e32 = e.astype(jnp.float32)
+    return (e32 - (1.0 - d) * (e32 - p.astype(jnp.float32))).astype(e.dtype)
+
+  return jax.tree.map(upd, ema_params, new_params)

@@ -37,11 +37,20 @@ def init_train_state(key, config, model, tx: optax.GradientTransformation,
     t = jnp.zeros((input_shape[0],), dtype=jnp.float32)
   variables = model.init({"params": key}, x, t, train=False)
   params = variables["params"]
+  # HBM byte diet: the EMA shadow may live in bf16 (config.tpu.ema_dtype);
+  # update math stays f32 (models/ema.py).
+  ema_dtype = jnp.dtype(
+      config.tpu.get("ema_dtype", "float32") if "tpu" in config
+      else "float32")
   return TrainState(
       step=jnp.zeros((), jnp.int32),
       params=params,
       opt_state=tx.init(params),
-      ema_params=jax.tree.map(jnp.copy, params),
+      # NOTE: must COPY, not alias — same-dtype astype returns the same
+      # buffer, and aliased params/ema_params break donate_argnums on TPU
+      # (INVALID_ARGUMENT at dispatch)
+      ema_params=jax.tree.map(
+          lambda p: jnp.array(p, dtype=ema_dtype, copy=True), params),
       ema_rate=float(config.model.ema_rate),
   )
 

@@ -35,7 +35,8 @@ V5E_PEAK_FLOPS = 197e12  # bf16
 V5E_PEAK_HBM = 819e9
 
 
-def run_one(batch: int, remat: str, fir: bool, config_name: str) -> dict:
+def run_one(batch: int, remat: str, fir: bool, config_name: str,
+            state_dtype: str = "f32") -> dict:
   if fir:
     os.environ["SOFT_TRUNCATION_PALLAS_FIR"] = "1"
   from soft_truncation_tpu.losses import get_optimizer
@@ -64,6 +65,13 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str) -> dict:
   else:
     config.tpu.remat = True
     config.tpu.remat_policy = remat
+  if state_dtype == "bf16":
+    # optimizer/EMA byte diet: bf16 EMA shadow + bf16 Adam first moment
+    config.tpu.ema_dtype = "bfloat16"
+    config.tpu.adam_mu_dtype = "bfloat16"
+  elif state_dtype == "bf16_mu":
+    # the numerically-safe subset (bf16 EMA fails parity — test_byte_diet)
+    config.tpu.adam_mu_dtype = "bfloat16"
   jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
   sde = get_sde(config)
@@ -103,6 +111,7 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str) -> dict:
   step_s = dt / iters
   rec = {
       "config": config_name, "batch": batch, "remat": remat,
+      "state_dtype": state_dtype,
       "pallas_fir": fir,
       "step_ms": round(step_s * 1000, 2),
       "imgs_per_sec": round(batch * iters / dt, 1),
@@ -121,7 +130,8 @@ def main():
   kv = dict(a.split("=", 1) for a in sys.argv[1:]
             if not a.startswith("--"))
   rec = run_one(int(kv.get("batch", 128)), kv.get("remat", "none"),
-                kv.get("fir", "0") == "1", kv.get("config", "flagship"))
+                kv.get("fir", "0") == "1", kv.get("config", "flagship"),
+                kv.get("state_dtype", "f32"))
   out = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "benchmarks", "train_sweep.jsonl")
   os.makedirs(os.path.dirname(out), exist_ok=True)

@@ -28,6 +28,11 @@ if COMPILE_CACHE:
 
 CONFIG_PATH = "soft_truncation_tpu/configs/ve/CIFAR10/uncsnpp_st.py"
 
+# --bf16-norms: GroupNorm statistics in bf16 — measured 9% faster PC
+# sampling / 5% faster DPM at batch 64 (forward-only has no backward to
+# pay the train-path penalty); default f32 matches parity numerics.
+BF16_NORMS = "--bf16-norms" in sys.argv
+
 
 def _load_config(batch: int):
   import importlib.util
@@ -37,6 +42,8 @@ def _load_config(batch: int):
   config = mod.get_config()
   config.sampling.batch_size = batch
   config.tpu.compute_dtype = "bfloat16"
+  if BF16_NORMS:
+    config.tpu.norm_dtype = "bfloat16"
   jax.config.update("jax_default_prng_impl", "unsafe_rbg")
   return config
 
@@ -83,6 +90,7 @@ def _record(base: dict, compile_s: float, dt: float, nfe: int,
   rec.update({
       "config": "ve/CIFAR10/uncsnpp_st", "nfe": nfe, "batch": batch,
       "compute_dtype": "bfloat16",
+      "norm_dtype": "bfloat16" if BF16_NORMS else "float32",
       "compile_cache": "on" if COMPILE_CACHE else "off",
       "compile_s": round(compile_s, 1),
       "batch_s": round(dt, 2),

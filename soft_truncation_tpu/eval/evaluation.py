@@ -105,6 +105,8 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
   if key is None:
     key = jax.random.PRNGKey(config.seed)
 
+  import time as _time
+  t_start = _time.time()
   all_feats, all_probs = [], []
   for r in range(num_rounds):
     key, sub = jax.random.split(key)
@@ -115,6 +117,12 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
     all_feats.append(feats)
     if probs is not None:
       all_probs.append(probs)
+    if r % 25 == 0 or r == num_rounds - 1:
+      done = (r + 1) * config.sampling.batch_size
+      dt = _time.time() - t_start
+      log.info("sampling shard %d/%d (%d imgs, %.1f imgs/s incl. "
+               "featurize+IO)", r + 1, num_rounds, done,
+               done / max(dt, 1e-9))
   feats = np.concatenate(all_feats)[:num_data]
   mu, cov = compute_stats(feats)
 

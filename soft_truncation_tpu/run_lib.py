@@ -180,8 +180,9 @@ def evaluate(config, workdir, assetdir=None, eval_folder="eval"):
    sampling_fn) = _build_everything(config, workdir)
   step = int(state.step)
   log.info("score model step: %d", step)
-  # eval uses the EMA weights (reference run_lib.py:140)
-  params = state.ema_params
+  # eval uses the EMA weights (reference run_lib.py:140); restore lands on
+  # host (train/checkpoint.py) — upload once, not per sampler call
+  params = jax.device_put(state.ema_params)
 
   _, eval_ds = datasets.get_dataset(config, evaluation_only=True)
 

@@ -15,11 +15,29 @@ import shutil
 from typing import Optional
 
 import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 from .state import TrainState
 
 log = logging.getLogger(__name__)
+
+
+def _host_template(template: TrainState) -> TrainState:
+  """Numpy copy of the state pytree, so Orbax restores to HOST memory.
+
+  Restoring straight to device arrays is the Orbax default when the
+  template holds jax arrays, but on the tunneled TPU runtime (axon) the
+  first device->host read AFTER a direct-to-device restore measured ~14
+  minutes for one scalar. Restoring to host numpy and letting callers
+  jax.device_put (run_lib.train already does; eval uploads once) is
+  robust on every runtime and makes host-side field access (state.step)
+  free. Built from shapes/dtypes only — converting the template with
+  np.asarray would itself drag ~1 GB device->host through the tunnel
+  (observed stalling >10 min)."""
+  import jax.numpy as jnp
+  return jax.tree.map(
+      lambda x: np.zeros(jnp.shape(x), jnp.result_type(x)), template)
 
 
 class CheckpointManager:
@@ -53,7 +71,7 @@ class CheckpointManager:
       log.warning("No checkpoint found at %s. Starting fresh.",
                   self.meta_path)
       return None
-    restored = self._ckptr.restore(self.meta_path, template)
+    restored = self._ckptr.restore(self.meta_path, _host_template(template))
     log.info("%s loaded ...", self.meta_path)
     return restored
 
@@ -70,7 +88,8 @@ class CheckpointManager:
 
   def restore_snapshot(self, template: TrainState,
                        save_step: int) -> TrainState:
-    return self._ckptr.restore(self.snapshot_path(save_step), template)
+    return self._ckptr.restore(self.snapshot_path(save_step),
+                               _host_template(template))
 
   def latest_snapshot_step(self) -> Optional[int]:
     steps = []

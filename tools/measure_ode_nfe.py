@@ -59,7 +59,9 @@ def main():
   ckpt = CheckpointManager(workdir)
   restored = ckpt.restore_meta(state)
   assert restored is not None, f"no checkpoint under {workdir}"
-  params = restored.ema_params  # eval uses EMA (reference run_lib.py:140)
+  # eval uses EMA (reference run_lib.py:140); restore lands on host —
+  # upload once
+  params = jax.device_put(restored.ema_params)
   trained_steps = int(restored.step)
   print(f"loaded checkpoint at step {trained_steps}")
 

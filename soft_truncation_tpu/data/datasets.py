@@ -198,11 +198,16 @@ def _synthetic_array(config, split: str) -> np.ndarray:
               "Set SOFT_TRUNCATION_DATA_DIR or install/prepare TFDS.",
               config.data.dataset, split)
   rng = np.random.RandomState(0 if split == "train" else 1)
-  # low-freq random images: random 4x4 upsampled, mildly noised
+  # low-freq random images: random 4x4 upsampled, mildly noised.
+  # Data-pipeline work stays on HOST: running the resize on the default
+  # (TPU) device dragged ~100 MB through the tunneled runtime — measured
+  # ~4 min of eval-CLI startup for a stand-in dataset.
   base = rng.randint(0, 256, size=(n, 4, 4, c)).astype(np.float32)
-  imgs = jax.image.resize(jnp.asarray(base), (n, size, size, c),
-                          "linear")
-  imgs = np.asarray(imgs) + rng.normal(0, 8, size=(n, size, size, c))
+  cpu = jax.local_devices(backend="cpu")[0]
+  with jax.default_device(cpu):
+    imgs = np.asarray(jax.image.resize(jnp.asarray(base),
+                                       (n, size, size, c), "linear"))
+  imgs = imgs + rng.normal(0, 8, size=(n, size, size, c))
   return np.clip(imgs, 0, 255).astype(np.uint8)
 
 

@@ -33,7 +33,7 @@ from .train.state import param_count
 log = logging.getLogger(__name__)
 
 
-def _build_everything(config, workdir):
+def _build_everything(config, workdir, eval_mode: bool = False):
   """Shared setup for train/eval: sde, model, state, fns, checkpoints."""
   rng_impl = config.tpu.get("rng_impl", None) if "tpu" in config else None
   if rng_impl:
@@ -41,14 +41,20 @@ def _build_everything(config, workdir):
   sde = get_sde(config)
   model = create_model(config)
   tx = get_optimizer(config)
+  ckpt = CheckpointManager(workdir)
+  # eval with an existing checkpoint never uses the randomly-initialized
+  # values — build the restore template abstractly (no device work,
+  # saves ~30-60 s of eval startup on the tunneled runtime)
+  abstract = eval_mode and os.path.exists(ckpt.meta_path)
   state = init_train_state(jax.random.PRNGKey(config.seed), config, model,
-                           tx)
+                           tx, abstract=abstract)
   log.info("model parameters: %d", param_count(state.params))
 
-  ckpt = CheckpointManager(workdir)
   restored = ckpt.restore_meta(state)
   if restored is not None:
     state = restored
+  else:
+    assert not abstract  # abstract template only built when meta exists
 
   scaler = datasets.get_data_scaler(config)
   inverse_scaler = datasets.get_data_inverse_scaler(config)
@@ -177,7 +183,7 @@ def evaluate(config, workdir, assetdir=None, eval_folder="eval"):
   os.makedirs(eval_dir, exist_ok=True)
 
   (sde, model, tx, state, ckpt, scaler, inverse_scaler, nll_fn, nelbo_fn,
-   sampling_fn) = _build_everything(config, workdir)
+   sampling_fn) = _build_everything(config, workdir, eval_mode=True)
   step = int(state.step)
   log.info("score model step: %d", step)
   # eval uses the EMA weights (reference run_lib.py:140); restore lands on

@@ -128,6 +128,42 @@ def test_checkpoint_roundtrip():
     assert int(again.step) == int(state.step)
 
 
+def test_abstract_template_matches_concrete_and_restores():
+  """init_train_state(abstract=True) must mirror the concrete pytree
+  (same treedef/shapes/dtypes) and work as an Orbax restore template —
+  eval mode uses it to skip the device init (run_lib._build_everything)."""
+  config = tiny_train_config()
+  sde = get_sde(config)
+  model = create_model(config)
+  tx = get_optimizer(config)
+  concrete = init_train_state(jax.random.PRNGKey(0), config, model, tx)
+  abstract = init_train_state(jax.random.PRNGKey(0), config, model, tx,
+                              abstract=True)
+
+  c_leaves, c_def = jax.tree.flatten(concrete)
+  a_leaves, a_def = jax.tree.flatten(abstract)
+  assert c_def == a_def
+  for c, a in zip(c_leaves, a_leaves):
+    assert jnp.shape(c) == jnp.shape(a)
+    assert jnp.result_type(c) == jnp.result_type(a)
+  # no device arrays anywhere in the abstract template
+  assert all(isinstance(a, jax.ShapeDtypeStruct) for a in a_leaves)
+
+  with tempfile.TemporaryDirectory() as workdir:
+    mgr = CheckpointManager(workdir)
+    mgr.save_meta(concrete)
+    restored = mgr.restore_meta(abstract)
+    for a, b in zip(jax.tree.leaves(concrete), jax.tree.leaves(restored)):
+      np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+  # bf16 EMA shadow flows through to the abstract template too
+  config.tpu.ema_dtype = "bfloat16"
+  abstract_bf16 = init_train_state(jax.random.PRNGKey(0), config, model, tx,
+                                   abstract=True)
+  assert all(l.dtype == jnp.bfloat16
+             for l in jax.tree.leaves(abstract_bf16.ema_params))
+
+
 def test_training_reduces_loss():
   """150 steps on a fixed synthetic dataset must reduce the score loss.
   The IS-weighted objective is high-variance across sampled diffusion

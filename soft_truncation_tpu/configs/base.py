@@ -159,7 +159,22 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # in benchmarks/ROOFLINE.md.
       ema_dtype="float32",
       adam_mu_dtype="float32",
+      # K train steps per host dispatch (lax.scan inside ONE XLA
+      # program), for runtimes where per-dispatch overhead is not hidden
+      # by async pipelining (slow data loops, very small models).
+      # MEASURED on the tunneled v5e: K=1 wins (1,883 imgs/s vs 1,825 at
+      # K=8, unsafe_rbg) — JAX's async dispatch already pipelines the
+      # host loop, and the K-scan program runs ~2 ms/step slower; see
+      # benchmarks/ROOFLINE.md "End-to-end CLI". Log/snapshot events
+      # fire at the window boundary crossing their nominal step; a
+      # partial tail window compiles a second program (persistent cache
+      # absorbs it after the first run).
+      steps_per_dispatch=1,
   ))
+  # uint8 batch transport (4x fewer host->device bytes; device redoes
+  # x/255 bit-identically): 'auto' enables it only for provably
+  # grid-exact pipelines — see data.datasets.transport_uint8.
+  config.data.transport_dtype = "auto"
   return config
 
 

@@ -3,6 +3,7 @@ from .datasets import (
     get_batch,
     get_data_scaler,
     get_data_inverse_scaler,
+    transport_uint8,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "get_batch",
     "get_data_scaler",
     "get_data_inverse_scaler",
+    "transport_uint8",
 ]

@@ -1,4 +1,5 @@
-"""Input pipeline: tf.data on the host, NHWC float32 [0,1] batches out.
+"""Input pipeline: tf.data on the host, NHWC batches out (float32 [0,1],
+or uint8 for the train path when transport_uint8() — see that function).
 
 Capability parity with reference datasets.py (CIFAR10/SVHN/CELEBA/LSUN via
 TFDS; FFHQ/CelebAHQ via score_sde-format TFRecords; IMAGENET32/STL10 via
@@ -302,6 +303,57 @@ def _native_dataset(config, split: str, evaluation: bool):
                              seed=config.seed)
 
 
+def transport_uint8(config, evaluation: bool = False) -> bool:
+  """Should the train pipeline yield uint8 batches instead of float32?
+
+  uint8 transport moves 4x fewer host->device bytes — on the tunneled
+  v5e runtime the f32 batch upload serializes with compute and costs
+  ~12.5 ms/step at batch 128 (benchmarks/ROOFLINE.md "End-to-end CLI").
+  The device reconstructs the float chain (x * f32(1/255), the same op
+  tf.image.convert_image_dtype performs; the dequantized form (k+u)/256
+  is algebraically exact with ONE f32 rounding) — lossless to <=1 ulp
+  when the pipeline's float values lie on the k/255 grid
+  (tests/test_data_sources.py::test_uint8_transport_*).
+
+  config.data.transport_dtype: 'auto' (default) enables uint8 only for
+  provably grid-exact pipelines — the native pipeline (pre-sized uint8
+  arrays) and uint8 sources at their native size with no fractional
+  resize; 'uint8' forces it (quantize-back rounds to the nearest grid
+  point, max error 1/510 — reasonable for resized datasets too);
+  'float32' disables. Eval pipelines always yield float32 (bpd parity)."""
+  if evaluation:
+    return False
+  mode = config.data.get("transport_dtype", "auto")
+  if mode not in ("auto", "uint8", "float32"):
+    raise ValueError(f"config.data.transport_dtype must be 'auto', "
+                     f"'uint8' or 'float32', got {mode!r}")
+  if mode != "auto":
+    return mode == "uint8"
+  if config.data.get("pipeline", "tf") == "native":
+    return True  # asserts pre-sized uint8 sources
+  if config.data.dataset == "Synthetic":
+    return True  # generated uint8 at final size
+  native_sizes = {"CIFAR10": 32, "CIFAR100": 32, "SVHN": 32,
+                  "IMAGENET32": 32, "STL10": 96}
+  return native_sizes.get(config.data.dataset) == config.data.image_size
+
+
+def _quantize_back_np(batch_f32: np.ndarray) -> np.ndarray:
+  """Inverse of x/255 on the k/255 grid (exact): round(x*255) as uint8."""
+  return np.rint(batch_f32 * 255.0).astype(np.uint8)
+
+
+class _Uint8Transport:
+  """Wrap a float-yielding dataset to yield uint8 (native pipeline)."""
+
+  def __init__(self, inner):
+    self._inner = inner
+
+  def as_numpy_iterator(self):
+    for d in self._inner.as_numpy_iterator():
+      yield {"image": _quantize_back_np(d["image"])}
+
+
 def get_dataset(config, evaluation_only: bool = False,
                 shard_per_host: bool = True):
   """Build (train_ds, eval_ds) pipelines of image batches.
@@ -321,7 +373,10 @@ def get_dataset(config, evaluation_only: bool = False,
     eval_ds = _native_dataset(config, eval_split, evaluation=True)
     if evaluation_only:
       return None, eval_ds
-    return _native_dataset(config, train_split, evaluation=False), eval_ds
+    train_ds = _native_dataset(config, train_split, evaluation=False)
+    if transport_uint8(config):
+      train_ds = _Uint8Transport(train_ds)
+    return train_ds, eval_ds
 
   assert _HAVE_TF, "tf.data input pipeline requires tensorflow"
 
@@ -344,10 +399,16 @@ def get_dataset(config, evaluation_only: bool = False,
     per_host = batch_size // jax.process_count()
     resize = _resize_op(config)
 
+    to_uint8 = transport_uint8(config, evaluation=evaluation)
+
     def preprocess(d):
       img = resize(d["image"])
       if config.data.random_flip and not evaluation:
         img = tf.image.random_flip_left_right(img)
+      if to_uint8:
+        # quantize-back for uint8 transport: exact inverse of /255 on
+        # grid values; the device redoes x/255 bit-identically
+        img = tf.cast(tf.round(img * 255.0), tf.uint8)
       return {"image": img}
 
     options = tf.data.Options()
@@ -368,16 +429,23 @@ def get_dataset(config, evaluation_only: bool = False,
   return train_ds, eval_ds
 
 
-def get_batch(config, data_iter, ds) -> Tuple[jax.Array, Iterator]:
-  """Next batch as a jnp NHWC float array; restarts exhausted epochs
-  (reference datasets.py:106-113)."""
+def get_batch(config, data_iter, ds) -> Tuple[np.ndarray, Iterator]:
+  """Next batch as a HOST numpy NHWC array (float32 in [0,1], or uint8
+  when :func:`transport_uint8` — the jitted preprocess converts on
+  device); restarts exhausted epochs (reference datasets.py:106-113).
+
+  Host numpy is deliberate: the consumer decides when/where the single
+  host->device transfer happens (run_lib stacks a steps_per_dispatch
+  window and device_puts once). Returning a device array here measured
+  ~180 ms/step of device->host round-trip on the tunneled runtime when
+  the caller staged batches host-side."""
   try:
     batch = next(data_iter)
   except StopIteration:
     log.info("New Epoch Start")
     data_iter = iter(ds.as_numpy_iterator())
     batch = next(data_iter)
-  img = jnp.asarray(batch["image"])
+  img = np.asarray(batch["image"])
   assert img.shape[1:] == (config.data.image_size, config.data.image_size,
                            config.data.num_channels), img.shape
   return img, data_iter

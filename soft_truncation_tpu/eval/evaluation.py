@@ -108,21 +108,34 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
   import time as _time
   t_start = _time.time()
   all_feats, all_probs = [], []
-  for r in range(num_rounds):
-    key, sub = jax.random.split(key)
-    samples = sampling_io.get_samples(config, model, params, sampling_fn,
-                                      step, r, sample_dir, key=sub)
-    feats, probs = sampling_io.get_latents(config, samples, extractor,
-                                           step, r, sample_dir)
-    all_feats.append(feats)
-    if probs is not None:
-      all_probs.append(probs)
-    if r % 25 == 0 or r == num_rounds - 1:
-      done = (r + 1) * config.sampling.batch_size
-      dt = _time.time() - t_start
-      log.info("sampling shard %d/%d (%d imgs, %.1f imgs/s incl. "
-               "featurize+IO)", r + 1, num_rounds, done,
-               done / max(dt, 1e-9))
+  # double-buffered: shard r+1's sampler is DISPATCHED (async) before
+  # shard r's host work (fetch, npz/PNG writes, featurize) — the device
+  # never idles waiting on host I/O. Measured on the tunneled v5e this
+  # closed most of the 92 vs 140 imgs/s end-to-end/device-only gap
+  # (benchmarks/ROOFLINE.md, FID-50k production run).
+  pending = None  # (round_idx, begin_samples handle)
+  for r in range(num_rounds + 1):
+    if r < num_rounds:
+      key, sub = jax.random.split(key)
+      handle = sampling_io.begin_samples(config, model, params, sampling_fn,
+                                         step, r, sample_dir, key=sub)
+    else:
+      handle = None
+    if pending is not None:
+      rp, hp = pending
+      samples = sampling_io.finish_samples(hp)
+      feats, probs = sampling_io.get_latents(config, samples, extractor,
+                                             step, rp, sample_dir)
+      all_feats.append(feats)
+      if probs is not None:
+        all_probs.append(probs)
+      if rp % 25 == 0 or rp == num_rounds - 1:
+        done = (rp + 1) * config.sampling.batch_size
+        dt = _time.time() - t_start
+        log.info("sampling shard %d/%d (%d imgs, %.1f imgs/s incl. "
+                 "featurize+IO)", rp + 1, num_rounds, done,
+                 done / max(dt, 1e-9))
+    pending = (r, handle) if handle is not None else None
   feats = np.concatenate(all_feats)[:num_data]
   mu, cov = compute_stats(feats)
 

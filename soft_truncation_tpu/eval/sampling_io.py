@@ -14,9 +14,17 @@ import os
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 log = logging.getLogger(__name__)
+
+
+@jax.jit
+def _to_uint8(x):
+  # on-device quantization: truncation toward zero matches host
+  # np.clip(x*255).astype(uint8), and the fetch moves 4x fewer bytes
+  return jnp.clip(x * 255.0, 0, 255).astype(jnp.uint8)
 
 
 def get_dir_name(config, sample_dir: str, step: int) -> str:
@@ -51,28 +59,55 @@ def save_image_grid(samples_uint8: np.ndarray, path: str,
   Image.fromarray(grid).save(path)
 
 
-def get_samples(config, model, params, sampling_fn, step: int,
-                sampling_idx: int, sample_dir: str,
-                key: Optional[jax.Array] = None) -> np.ndarray:
-  """Generate (or load cached) one shard of samples as uint8 NHWC
-  (reference sampling_lib.py:36-57)."""
+def begin_samples(config, model, params, sampling_fn, step: int,
+                  sampling_idx: int, sample_dir: str,
+                  key: Optional[jax.Array] = None):
+  """Dispatch one shard of sampling WITHOUT waiting for the device.
+
+  Returns an opaque handle for :func:`finish_samples`. If the shard npz
+  already exists nothing is dispatched (resumability,
+  reference sampling_lib.py:36-57). The float->uint8 conversion runs on
+  device so the (tunneled) device->host fetch moves 4x fewer bytes;
+  XLA's float->int convert truncates toward zero exactly like the
+  host ``np.clip(x*255).astype(uint8)`` it replaces."""
   dir_name = get_dir_name(config, sample_dir, step)
   os.makedirs(dir_name, exist_ok=True)
   shard_path = os.path.join(dir_name, f"samples_{sampling_idx}.npz")
   if os.path.exists(shard_path):
-    with np.load(shard_path) as f:
-      return f["samples"]
+    return ("cached", shard_path, None)
 
   if key is None:
     key = jax.random.PRNGKey(sampling_idx)
   samples, nfe = sampling_fn(model, params, key)
-  samples = np.asarray(samples)
-  samples = np.clip(samples * 255.0, 0, 255).astype(np.uint8)
+  samples_u8 = _to_uint8(samples)
+  return ("pending", shard_path, (samples_u8, nfe, dir_name, sampling_idx))
+
+
+def finish_samples(handle) -> np.ndarray:
+  """Block on a :func:`begin_samples` handle; for freshly generated
+  shards, fetch from device and write the shard npz + PNG grid; return
+  uint8 NHWC samples."""
+  kind, shard_path, payload = handle
+  if kind == "cached":
+    with np.load(shard_path) as f:
+      return f["samples"]
+  samples_u8, nfe, dir_name, sampling_idx = payload
+  samples = np.asarray(samples_u8)  # the device fetch happens HERE
   np.savez_compressed(shard_path, samples=samples)
   save_image_grid(samples, os.path.join(dir_name,
                                         f"samples_{sampling_idx}.png"))
   log.info("wrote %s (%d samples, nfe=%s)", shard_path, len(samples), nfe)
   return samples
+
+
+def get_samples(config, model, params, sampling_fn, step: int,
+                sampling_idx: int, sample_dir: str,
+                key: Optional[jax.Array] = None) -> np.ndarray:
+  """Generate (or load cached) one shard of samples as uint8 NHWC
+  (reference sampling_lib.py:36-57)."""
+  return finish_samples(begin_samples(config, model, params, sampling_fn,
+                                      step, sampling_idx, sample_dir,
+                                      key=key))
 
 
 def get_latents(config, samples_uint8: np.ndarray, extractor, step: int,

@@ -56,8 +56,23 @@ def _setup_compilation_cache(config) -> None:
       (config.get("tpu", {}) or {}).get("compilation_cache_dir", ""))
 
 
+def _honor_jax_platforms_env() -> None:
+  """Re-assert JAX_PLATFORMS from the environment via jax.config.
+
+  Some managed runtimes register a PJRT plugin from sitecustomize and
+  overwrite ``jax_platforms`` with their own selection at interpreter
+  start (observed: axon's register() forces "axon,cpu"), silently
+  ignoring the user's ``JAX_PLATFORMS=cpu``. Re-applying the env value
+  before the first backend query restores the documented JAX contract."""
+  env = os.environ.get("JAX_PLATFORMS")
+  if env:
+    import jax
+    jax.config.update("jax_platforms", env)
+
+
 def main(argv):
   del argv
+  _honor_jax_platforms_env()
   from . import run_lib
 
   os.makedirs(FLAGS.workdir, exist_ok=True)

@@ -3,6 +3,8 @@ from .mesh import (
     replicated_sharding,
     batch_sharding,
     shard_batch,
+    stacked_batch_sharding,
+    shard_stacked_batch,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "replicated_sharding",
     "batch_sharding",
     "shard_batch",
+    "stacked_batch_sharding",
+    "shard_stacked_batch",
 ]

@@ -64,3 +64,19 @@ def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
   """Place a host array as a batch-sharded device array."""
   return jax.device_put(batch, batch_sharding(mesh, spatial=spatial))
+
+
+def stacked_batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+  """Sharding for a [K, B, H, W, C] stack of K per-step batches
+  (steps_per_dispatch windows): batch dim (axis 1) over 'data', K
+  replicated — each device holds its batch shard for every step of the
+  window."""
+  if spatial and SPACE_AXIS in mesh.axis_names:
+    return NamedSharding(mesh, P(None, DATA_AXIS, SPACE_AXIS))
+  return NamedSharding(mesh, P(None, DATA_AXIS))
+
+
+def shard_stacked_batch(mesh: Mesh, batches, spatial: bool = False):
+  """Place a host [K, B, ...] batch stack as a device array sharded on
+  the batch dim."""
+  return jax.device_put(batches, stacked_batch_sharding(mesh, spatial=spatial))

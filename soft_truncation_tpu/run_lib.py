@@ -22,15 +22,30 @@ from .eval.inception import get_feature_extractor
 from .likelihood import get_elbo_fn, get_likelihood_fn
 from .losses import get_optimizer
 from .models import create_model
-from .parallel import (batch_sharding, make_mesh, replicated_sharding,
-                       shard_batch)
+from .parallel import (make_mesh, replicated_sharding,
+                       stacked_batch_sharding)
 from .sample import get_sampling_fn
 from .sde import get_sde
 from .train import (CheckpointManager, init_train_state, make_eval_loss_step,
-                    make_train_step)
+                    make_multi_train_step)
 from .train.state import param_count
 
 log = logging.getLogger(__name__)
+
+
+def _crossed(step0: int, last: int, freq: int, allow_zero: bool = False):
+  """Largest step label in [step0, last] on the ``freq`` cadence (None
+  if the window crosses no multiple). A steps_per_dispatch window covers
+  steps step0..last in one dispatch; periodic events (logging,
+  snapshots) fire at the window that crosses their nominal step, labeled
+  with that step. For a window of width 1 this is exactly the classic
+  ``step % freq == 0`` check."""
+  if freq <= 0:
+    return None
+  m = (last // freq) * freq
+  if m < step0 or (m == 0 and not allow_zero):
+    return None
+  return m
 
 
 def _build_everything(config, workdir, eval_mode: bool = False):
@@ -88,11 +103,42 @@ def train(config, workdir, assetdir=None):
 
   mesh = make_mesh(tuple(config.tpu.get("mesh_shape", ())))
   rs = replicated_sharding(mesh)
-  bs = batch_sharding(mesh)
-  step_fn = make_train_step(config, sde, model, tx)
+  sbs = stacked_batch_sharding(mesh)
+
+  dequant = config.data.dequantization == "uniform"
+
+  def _preprocess(batch, k):
+    # fused into the train program: uint8->float (uint8 transport),
+    # dequantization, scaling. Running these eagerly costs several small
+    # dispatches per step — measured ~20% of end-to-end wall on a v5e
+    # (benchmarks/ROOFLINE.md).
+    if batch.dtype == jnp.uint8 and dequant:
+      # exact form of the reference chain 255*(k/255)+u)/256 = (k+u)/256
+      # (one f32 rounding instead of three; agrees with the float-
+      # transport chain to <=1 ulp — test_uint8_transport_*)
+      batch = ((batch.astype(jnp.float32) + jax.random.uniform(k, batch.shape))
+               * np.float32(1.0 / 256.0))
+    else:
+      if batch.dtype == jnp.uint8:
+        # x * f32(1/255): same op tf.image.convert_image_dtype performs
+        # (bit-identical eagerly; XLA fusion can differ by 1 ulp)
+        batch = batch.astype(jnp.float32) * np.float32(1.0 / 255.0)
+      if dequant:
+        batch = (255.0 * batch
+                 + jax.random.uniform(k, batch.shape)) / 256.0
+    return scaler(batch)
+
+  # K steps per dispatch (config.tpu.steps_per_dispatch): one XLA program
+  # trains a [K, B, ...] window, amortizing per-dispatch runtime latency.
+  # Any K draws the same per-step randomness (same split chain); K only
+  # changes dispatch granularity, not training semantics.
+  K = max(int(config.tpu.get("steps_per_dispatch", 1) or 1), 1)
+  window_fn = make_multi_train_step(config, sde, model, tx,
+                                    preprocess=_preprocess)
   donate = (0,) if config.tpu.get("donate_state", True) else ()
-  jitted_step = jax.jit(step_fn, in_shardings=(rs, bs, rs),
-                        out_shardings=(rs, rs), donate_argnums=donate)
+  jitted_window = jax.jit(window_fn, in_shardings=(rs, sbs, rs),
+                          out_shardings=(rs, rs, rs),
+                          donate_argnums=donate)
   state = jax.device_put(state, rs)
 
   from .utils.profiling import StepTimer, trace
@@ -110,70 +156,71 @@ def train(config, workdir, assetdir=None):
   except Exception as e:  # tensorboard is observability, never fatal
     log.warning("tensorboard writer unavailable: %s", e)
 
-  dequant = config.data.dequantization == "uniform"
-
-  @jax.jit
-  def _preprocess(batch, k):
-    # one fused device program for dequantization + scaling: running these
-    # eagerly costs several small dispatches per step (measured ~20% of
-    # end-to-end wall on a v5e, see benchmarks/ROOFLINE.md)
-    if dequant:
-      batch = (255.0 * batch + jax.random.uniform(k, batch.shape)) / 256.0
-    return scaler(batch)
-
   key = jax.random.PRNGKey(config.seed)
+  n_iters = config.training.n_iters
   log.info("Starting training loop at step %d.", initial_step)
-  for step in range(initial_step, config.training.n_iters + 1):
-    batch, train_iter = datasets.get_batch(config, train_iter, train_ds)
-    key, k_dq, k_step = jax.random.split(key, 3)
-    batch = shard_batch(mesh, batch)
-    batch = _preprocess(batch, k_dq)
+  step0 = initial_step
+  while step0 <= n_iters:
+    w = min(K, n_iters + 1 - step0)
+    raws = []
+    for _ in range(w):
+      batch, train_iter = datasets.get_batch(config, train_iter, train_ds)
+      raws.append(batch)
+    batches = jax.device_put(np.stack(raws), sbs)
 
-    state, losses = jitted_step(state, batch, k_step)
-    timer.tick()
+    state, key, losses = jitted_window(state, batches, key)
+    for _ in range(w):
+      timer.tick()
+    last = step0 + w - 1
 
-    if step % config.training.log_freq == 0:
-      losses_np = np.asarray(losses)
+    def crossed(freq, allow_zero=False):
+      return _crossed(step0, last, freq, allow_zero=allow_zero)
+
+    log_step = crossed(config.training.log_freq, allow_zero=True)
+    if log_step is not None:
+      losses_np = np.asarray(losses).reshape(-1)
       sps, ips = timer.report()
       log.info("step: %d, training loss mean: %.5e, training loss std: "
-               "%.5e (%.2f steps/s, %.0f imgs/s)", step, losses_np.mean(),
-               losses_np.std(), sps, ips)
+               "%.5e (%.2f steps/s, %.0f imgs/s)", log_step,
+               losses_np.mean(), losses_np.std(), sps, ips)
       if tb_writer is not None:
         import tensorflow as tf
-        with tb_writer.as_default(step=step):
+        with tb_writer.as_default(step=log_step):
           tf.summary.scalar("train/loss_mean", float(losses_np.mean()))
           tf.summary.scalar("train/loss_std", float(losses_np.std()))
           tf.summary.scalar("perf/steps_per_sec", float(sps))
           tf.summary.scalar("perf/imgs_per_sec", float(ips))
         tb_writer.flush()
 
-    if profile_dir and step == initial_step + 10:
+    if (profile_dir and step0 <= initial_step + 10 <= last):
       with trace(profile_dir):
-        state, losses = jitted_step(state, batch, k_step)
+        state, key, losses = jitted_window(state, batches, key)
         np.asarray(losses)
 
-    if step != 0 and step % config.training.snapshot_freq_for_preemption == 0:
+    if crossed(config.training.snapshot_freq_for_preemption) is not None:
       ckpt.save_meta(state)
 
-    if (step != 0 and step % config.training.snapshot_freq == 0
-        or step == config.training.n_iters):
-      ckpt.save_snapshot(state, step // config.training.snapshot_freq)
+    snap_step = crossed(config.training.snapshot_freq)
+    if snap_step is not None or last == n_iters:
+      ckpt.save_snapshot(state,
+                         (snap_step if snap_step is not None else last)
+                         // config.training.snapshot_freq)
 
-    if step != 0 and step % config.training.snapshot_freq == 0:
-      if config.eval.enable_bpd:
-        evaluation.compute_bpd(config, eval_ds, scaler, inverse_scaler,
-                               nelbo_fn, nll_fn, model, state.ema_params,
-                               step=step)
+    if snap_step is not None and config.eval.enable_bpd:
+      evaluation.compute_bpd(config, eval_ds, scaler, inverse_scaler,
+                             nelbo_fn, nll_fn, model, state.ema_params,
+                             step=snap_step)
 
-    if (step != 0 and step % config.training.snapshot_freq == 0
-        or step == config.training.n_iters
+    if (snap_step is not None or last == n_iters
         or config.training.get("whatever_sampling", False)):
       if config.training.snapshot_sampling:
         log.info("sampling start ...")
         evaluation.compute_fid_and_is(config, model, state.ema_params,
-                                      sampling_fn, step, sample_dir,
-                                      assetdir, config.eval.num_samples,
+                                      sampling_fn, snap_step or last,
+                                      sample_dir, assetdir,
+                                      config.eval.num_samples,
                                       eval_ds=eval_ds)
+    step0 += w
   return state
 
 

@@ -131,6 +131,58 @@ def make_train_step(config, sde: SDE, model,
   return train_step
 
 
+def make_multi_train_step(config, sde: SDE, model,
+                          tx: optax.GradientTransformation,
+                          preprocess: Callable = None) -> Callable:
+  """K train steps in ONE XLA program (``lax.scan`` over a [K, B, ...]
+  batch stack). One host dispatch per K steps — for runtimes where
+  per-dispatch overhead is not hidden by async pipelining. On the
+  tunneled v5e K=1 measured FASTER (1,883 vs 1,825 imgs/s end to end;
+  benchmarks/ROOFLINE.md "End-to-end CLI training"), so this is an
+  escape hatch, not the default. The per-step math is exactly
+  ``make_train_step``'s, fed the same per-step keys.
+
+  ``preprocess(batch, key) -> batch`` (optional) runs inside the program
+  before each step — run_lib folds dequantization+scaling in so a window
+  is truly one dispatch.
+
+  The per-step keys are split from ``key`` inside the program with the
+  same ``key, k_pre, k_step = split(key, 3)`` chain the eager loop used,
+  so a K-window draws bit-identical randomness to K single steps (the
+  result can differ from K separate dispatches only by XLA
+  fusion/reassociation rounding); the advanced key is returned for the
+  next window and never leaves the device between dispatches.
+
+  Returns multi_step(state, batches [K,B,...], key)
+       -> (state, key', losses [K, B_losses]).
+  """
+  train_step = make_train_step(config, sde, model, tx)
+
+  def multi_step(state: TrainState, batches: Array,
+                 key: Array) -> Tuple[TrainState, Array, Array]:
+    def body(carry, b):
+      st, k = carry
+      k, k_pre, k_step = jax.random.split(k, 3)
+      if preprocess is not None:
+        b = preprocess(b, k_pre)
+      st, losses = train_step(st, b, k_step)
+      return (st, k), losses
+
+    if batches.shape[0] == 1:
+      # width-1 window (the default): straight-line program, no scan.
+      # A scan carrying the full 62M-param state measured ~4-5 ms/step
+      # of extra HBM traffic (carry buffer copies) on a v5e — the
+      # single-step program avoids it while keeping the window calling
+      # convention (and the identical key chain).
+      (state, key), losses = body((state, key), batches[0])
+      return state, key, losses[None]
+
+    (state, key), losses = jax.lax.scan(body, (state, key), batches)
+    return state, key, losses
+
+  return multi_step
+
+
 def make_eval_loss_step(config, sde: SDE, model) -> Callable:
   """Per-example eval losses with EMA-or-raw params; the reference's
   eval-mode step_fn path is dead code (losses.py:279-293 would hit an

@@ -21,7 +21,7 @@ _FAST_FILES = {
     "test_sde.py", "test_ops.py", "test_configs.py", "test_loss_parity.py",
     "test_ema_parity.py", "test_optimizer_parity.py",
     "test_eval_stats_formats.py", "test_cleanfid_api.py",
-    "test_tfhub_extractor.py",
+    "test_tfhub_extractor.py", "test_dispatch_window.py",
 }
 _FAST_NODES = {
     "test_ncsnpp_parity.py::test_forward_parity[ddpmpp]",

@@ -28,10 +28,14 @@ def test_npz_source_roundtrip(monkeypatch):
     it = iter(train_ds.as_numpy_iterator())
     batch, it = get_batch(config, it, train_ds)
     assert batch.shape == (16, 32, 32, 3)
-    assert float(batch.max()) <= 1.0
-    # eval dataset is a single epoch of 32 items
-    n = sum(len(b["image"]) for b in eval_ds.as_numpy_iterator())
-    assert n == 32
+    # CIFAR10@32 is grid-exact -> 'auto' transport yields uint8 train
+    # batches (4x fewer host->device bytes; device redoes /255)
+    assert batch.dtype == np.uint8
+    # eval dataset stays float32 and is a single epoch of 32 items
+    chunks = list(eval_ds.as_numpy_iterator())
+    assert sum(len(b["image"]) for b in chunks) == 32
+    assert chunks[0]["image"].dtype == np.float32
+    assert float(chunks[0]["image"].max()) <= 1.0
 
 
 def test_tfrecord_source(tmp_path):
@@ -75,3 +79,86 @@ def test_legacy_rve_sde_config_buildable():
   sde = get_sde(config)
   assert isinstance(sde, ReciprocalVESDE)
   assert sde.eta == config.uncsn.eta
+
+
+def test_uint8_transport_bit_exact():
+  """uint8 transport must reproduce the float chain bit for bit: the
+  device-side x/255 (f32) equals tf.image.convert_image_dtype for every
+  uint8 value, and quantize-back is the exact inverse on the grid."""
+  import jax.numpy as jnp
+  import tensorflow as tf
+  from soft_truncation_tpu.data.datasets import _quantize_back_np
+
+  k = np.arange(256, dtype=np.uint8)
+  host = tf.image.convert_image_dtype(tf.constant(k), tf.float32).numpy()
+  # multiply by the f32 reciprocal, as convert_image_dtype does — true
+  # division differs by 1 ulp for ~half the values
+  device = np.asarray(jnp.asarray(k).astype(jnp.float32)
+                      * np.float32(1.0 / 255.0))
+  np.testing.assert_array_equal(host, device)
+  np.testing.assert_array_equal(_quantize_back_np(host), k)
+
+
+def test_transport_dtype_resolution():
+  from soft_truncation_tpu.data import transport_uint8
+
+  config = default_config("cifar10")
+  assert transport_uint8(config)                      # CIFAR10@32: exact
+  assert not transport_uint8(config, evaluation=True)  # eval always f32
+  config.data.image_size = 64
+  assert not transport_uint8(config)                  # fractional resize
+  config.data.transport_dtype = "uint8"
+  assert transport_uint8(config)                      # explicit override
+  config.data.transport_dtype = "float32"
+  config.data.image_size = 32
+  assert not transport_uint8(config)
+
+  celeba = default_config("celeba")
+  assert not transport_uint8(celeba)                  # resized: lossy
+  celeba.data.pipeline = "native"
+  assert transport_uint8(celeba)                      # pre-sized uint8
+
+
+def test_uint8_transport_preprocess_equivalence():
+  """The jitted preprocess fed a uint8 batch must reproduce the
+  float-transport chain: bit-exact without dequantization, and to <=1
+  ulp with it (the uint8 form (k+u)/256 has ONE f32 rounding where the
+  float chain 255*(k/255)+u)/256 has three — run_lib._preprocess)."""
+  import jax
+  import jax.numpy as jnp
+
+  rng = np.random.RandomState(3)
+  u8 = rng.randint(0, 256, size=(4, 8, 8, 3), dtype=np.uint8)
+  # the float the tf pipeline would have shipped (reciprocal multiply)
+  f32 = u8.astype(np.float32) * np.float32(1.0 / 255.0)
+
+  def pre_dequant(batch, k):
+    if batch.dtype == jnp.uint8:
+      batch = ((batch.astype(jnp.float32)
+                + jax.random.uniform(k, batch.shape))
+               * np.float32(1.0 / 256.0))
+    else:
+      batch = (255.0 * batch + jax.random.uniform(k, batch.shape)) / 256.0
+    return batch * 2.0 - 1.0  # centered scaler
+
+  def pre_plain(batch):
+    if batch.dtype == jnp.uint8:
+      batch = batch.astype(jnp.float32) * np.float32(1.0 / 255.0)
+    return batch * 2.0 - 1.0
+
+  k = jax.random.PRNGKey(11)
+  a = np.asarray(jax.jit(pre_dequant)(jnp.asarray(u8), k))
+  b = np.asarray(jax.jit(pre_dequant)(jnp.asarray(f32), k))
+  # the float chain's three roundings can drift 2 ulp at the [-1,1]
+  # scale (ulp = 2^-23 near |x|=1): bound at 4*2^-24
+  np.testing.assert_allclose(a, b, rtol=0, atol=4 * 2.0**-24)
+
+  # plain path: same ops on same bits, but XLA may fuse the scaler into
+  # an FMA in one program shape and not the other — eager is bit-equal,
+  # jit agrees to 1 ulp
+  c_e = np.asarray(pre_plain(jnp.asarray(u8)))
+  d_e = np.asarray(pre_plain(jnp.asarray(f32)))
+  np.testing.assert_array_equal(c_e, d_e)
+  c = np.asarray(jax.jit(pre_plain)(jnp.asarray(u8)))
+  d = np.asarray(jax.jit(pre_plain)(jnp.asarray(f32)))
+  np.testing.assert_allclose(c, d, rtol=0, atol=2.0**-23)

@@ -138,7 +138,9 @@ def test_native_pipeline_wired_into_get_dataset(tmp_path, monkeypatch):
   it = iter(train_ds.as_numpy_iterator())
   batch, it = D.get_batch(config, it, train_ds)
   assert batch.shape == (16, 8, 8, 3)
-  assert 0.0 <= float(batch.min()) and float(batch.max()) <= 1.0
+  # native pipeline is always uint8-transport-eligible (pre-sized uint8
+  # arrays): train batches arrive as uint8, converted on device
+  assert batch.dtype == np.uint8
 
   eval_batches = list(eval_ds.as_numpy_iterator())
   assert len(eval_batches) == 2  # 32 eval images / 16

@@ -128,6 +128,64 @@ def test_checkpoint_roundtrip():
     assert int(again.step) == int(state.step)
 
 
+def test_multi_step_window_matches_single_steps():
+  """A steps_per_dispatch window (make_multi_train_step) draws the same
+  randomness as K single-dispatch steps (identical key chain — the
+  advanced key must match EXACTLY) and produces the same numerics up to
+  XLA fusion/reassociation differences between the two programs."""
+  from soft_truncation_tpu.train import make_multi_train_step
+
+  config = tiny_train_config()
+  sde = get_sde(config)
+  model = create_model(config)
+  tx = get_optimizer(config)
+  state = init_train_state(jax.random.PRNGKey(0), config, model, tx)
+
+  def preprocess(b, k):
+    return (255.0 * b + jax.random.uniform(k, b.shape)) / 256.0 * 2 - 1
+
+  single = jax.jit(make_train_step(config, sde, model, tx))
+  multi = jax.jit(make_multi_train_step(config, sde, model, tx,
+                                        preprocess=preprocess))
+
+  kk = 4
+  batches = jax.random.uniform(
+      jax.random.PRNGKey(1), (kk, 16, 8, 8, 3))
+  key = jax.random.PRNGKey(7)
+
+  s1, k1 = state, key
+  eager_losses = []
+  for i in range(kk):
+    k1, k_pre, k_step = jax.random.split(k1, 3)
+    s1, l = single(s1, preprocess(batches[i], k_pre), k_step)
+    eager_losses.append(np.asarray(l))
+
+  s2, k2, win_losses = multi(state, batches, key)
+
+  np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+  np.testing.assert_allclose(np.stack(eager_losses),
+                             np.asarray(win_losses), rtol=2e-6, atol=1e-6)
+  for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-6, atol=1e-7)
+  assert int(s2.step) == kk
+
+  # width-1 windows take the straight-line (no-scan) branch: chaining kk
+  # of them must match the kk-window scan — key chain EXACTLY, numerics
+  # to program-fusion tolerance
+  s3, k3 = state, key
+  losses1 = []
+  for i in range(kk):
+    s3, k3, l1 = multi(s3, batches[i:i + 1], k3)
+    losses1.append(np.asarray(l1)[0])
+  np.testing.assert_array_equal(np.asarray(k3), np.asarray(k2))
+  np.testing.assert_allclose(np.stack(losses1),
+                             np.asarray(win_losses), rtol=2e-6, atol=1e-6)
+  for a, b in zip(jax.tree.leaves(s3.params), jax.tree.leaves(s2.params)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-6, atol=1e-7)
+
+
 def test_abstract_template_matches_concrete_and_restores():
   """init_train_state(abstract=True) must mirror the concrete pytree
   (same treedef/shapes/dtypes) and work as an Orbax restore template —

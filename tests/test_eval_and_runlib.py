@@ -134,3 +134,24 @@ def test_run_lib_train_and_evaluate_smoke():
     assert "fid" in results
     assert np.isfinite(results["fid"])
     assert np.isfinite(results["nll_bpd_mean"])
+
+
+def test_honor_jax_platforms_env(monkeypatch):
+  """main.py must re-assert JAX_PLATFORMS from env: the managed runtime's
+  sitecustomize forces jax_platforms='axon,cpu' at interpreter start
+  (axon/register/pjrt.py:86), silently overriding the user's env var —
+  'CPU' CLI runs were executing on the TPU until this hook."""
+  import jax
+  from soft_truncation_tpu import main as main_mod
+
+  calls = []
+  monkeypatch.setattr(jax.config, "update",
+                      lambda k, v: calls.append((k, v)))
+  monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+  main_mod._honor_jax_platforms_env()
+  assert ("jax_platforms", "cpu") in calls
+
+  calls.clear()
+  monkeypatch.delenv("JAX_PLATFORMS")
+  main_mod._honor_jax_platforms_env()
+  assert calls == []

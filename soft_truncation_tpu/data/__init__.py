@@ -3,6 +3,7 @@ from .datasets import (
     get_batch,
     get_data_scaler,
     get_data_inverse_scaler,
+    make_preprocess_fn,
     transport_uint8,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "get_batch",
     "get_data_scaler",
     "get_data_inverse_scaler",
+    "make_preprocess_fn",
     "transport_uint8",
 ]

@@ -68,6 +68,38 @@ def get_data_inverse_scaler(config):
   return lambda x: x
 
 
+def make_preprocess_fn(config):
+  """Jit-traceable (batch, key) -> scaled batch, fused into the train program.
+
+  Handles uint8 transport (see transport_uint8), uniform dequantization, and
+  scaling in ONE place so every consumer of the production train step
+  (run_lib.train, tools/bench_e2e_loop.py) runs the identical program.
+  Running these eagerly costs several small dispatches per step — measured
+  ~20% of end-to-end wall on a v5e (benchmarks/ROOFLINE.md).
+  """
+  scaler = get_data_scaler(config)
+  dequant = config.data.dequantization == "uniform"
+
+  def _preprocess(batch, k):
+    if batch.dtype == jnp.uint8 and dequant:
+      # exact form of the reference chain (255*(k/255)+u)/256 = (k+u)/256
+      # (one f32 rounding instead of three; agrees with the float-
+      # transport chain to <=1 ulp — test_uint8_transport_*)
+      batch = ((batch.astype(jnp.float32) + jax.random.uniform(k, batch.shape))
+               * np.float32(1.0 / 256.0))
+    else:
+      if batch.dtype == jnp.uint8:
+        # x * f32(1/255): same op tf.image.convert_image_dtype performs
+        # (bit-identical eagerly; XLA fusion can differ by 1 ulp)
+        batch = batch.astype(jnp.float32) * np.float32(1.0 / 255.0)
+      if dequant:
+        batch = (255.0 * batch
+                 + jax.random.uniform(k, batch.shape)) / 256.0
+    return scaler(batch)
+
+  return _preprocess
+
+
 # ---------------------------------------------------------------------------
 # resize ops (reference datasets.py:74-103)
 # ---------------------------------------------------------------------------

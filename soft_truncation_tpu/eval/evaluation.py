@@ -114,28 +114,43 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
   # closed most of the 92 vs 140 imgs/s end-to-end/device-only gap
   # (benchmarks/ROOFLINE.md, FID-50k production run).
   pending = None  # (round_idx, begin_samples handle)
-  for r in range(num_rounds + 1):
-    if r < num_rounds:
-      key, sub = jax.random.split(key)
-      handle = sampling_io.begin_samples(config, model, params, sampling_fn,
-                                         step, r, sample_dir, key=sub)
-    else:
-      handle = None
-    if pending is not None:
-      rp, hp = pending
-      samples = sampling_io.finish_samples(hp)
-      feats, probs = sampling_io.get_latents(config, samples, extractor,
-                                             step, rp, sample_dir)
-      all_feats.append(feats)
-      if probs is not None:
-        all_probs.append(probs)
-      if rp % 25 == 0 or rp == num_rounds - 1:
-        done = (rp + 1) * config.sampling.batch_size
-        dt = _time.time() - t_start
-        log.info("sampling shard %d/%d (%d imgs, %.1f imgs/s incl. "
-                 "featurize+IO)", rp + 1, num_rounds, done,
-                 done / max(dt, 1e-9))
-    pending = (r, handle) if handle is not None else None
+  inflight = {}  # round_idx -> dispatched-but-unpersisted handle
+  try:
+    for r in range(num_rounds + 1):
+      if r < num_rounds:
+        key, sub = jax.random.split(key)
+        handle = sampling_io.begin_samples(config, model, params, sampling_fn,
+                                           step, r, sample_dir, key=sub)
+        inflight[r] = handle
+      else:
+        handle = None
+      if pending is not None:
+        rp, hp = pending
+        samples = sampling_io.finish_samples(hp)
+        inflight.pop(rp, None)
+        feats, probs = sampling_io.get_latents(config, samples, extractor,
+                                               step, rp, sample_dir)
+        all_feats.append(feats)
+        if probs is not None:
+          all_probs.append(probs)
+        if rp % 25 == 0 or rp == num_rounds - 1:
+          done = (rp + 1) * config.sampling.batch_size
+          dt = _time.time() - t_start
+          log.info("sampling shard %d/%d (%d imgs, %.1f imgs/s incl. "
+                   "featurize+IO)", rp + 1, num_rounds, done,
+                   done / max(dt, 1e-9))
+      pending = (r, handle) if handle is not None else None
+  except BaseException:
+    # best-effort: persist any shard whose device work was already
+    # dispatched (double-buffering keeps one in flight) so an interruption
+    # or featurize/IO error doesn't discard completed sampler minutes —
+    # resume finds the npz and skips the shard.
+    for rp, hp in list(inflight.items()):
+      try:
+        sampling_io.finish_samples(hp)
+      except Exception:
+        log.warning("could not persist in-flight sample shard %d", rp)
+    raise
   feats = np.concatenate(all_feats)[:num_data]
   mu, cov = compute_stats(feats)
 
@@ -153,7 +168,10 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
     mu_ref, cov_ref = compute_dataset_stats(config, eval_ds, extractor,
                                             num_data, cache_path=cache)
 
-  metrics = {"fid": frechet_distance(mu_ref, cov_ref, mu, cov)}
+  # IS/KID first: if the covariance product is degenerate, frechet_distance
+  # raises (by design) — don't let that discard the other metrics at the
+  # end of a multi-hour sampling run.
+  metrics = {}
   if all_probs:
     probs = np.concatenate(all_probs)[:num_data]
     metrics["inception_score"] = inception_score_from_probs(probs)
@@ -162,6 +180,13 @@ def compute_fid_and_is(config, model, params, sampling_fn, step: int,
   # stat files do (reference evaluation.py:303,319-320).
   if real_feats is not None:
     metrics["kid"] = kernel_distance(real_feats, feats)
+  try:
+    metrics["fid"] = frechet_distance(mu_ref, cov_ref, mu, cov)
+  except ValueError as e:
+    log.error("FID failed (%s); reporting nan FID alongside the other "
+              "metrics", e)
+    metrics["fid"] = float("nan")
+    metrics["fid_error"] = str(e)
 
   dir_name = sampling_io.get_dir_name(config, sample_dir, step)
   report = os.path.join(dir_name, "report_metrics.npz")

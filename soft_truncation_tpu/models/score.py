@@ -27,10 +27,14 @@ Array = jax.Array
 
 
 # param-leaf paths whose modules compute in f32 regardless of the model's
-# compute dtype: GroupNorms (f32 statistics) and the Fourier time
-# embedding; everything else (convs/NIN/Dense incl. temb projections) runs
-# at model.dtype and converts its f32 params to bf16 on every call.
-_F32_PARAM_MARKERS = ("norm", "fourier")
+# compute dtype: GroupNorms (f32 statistics), the Fourier time embedding,
+# and the (vestigial) LogSNR PosDense; everything else (convs/NIN/Dense
+# incl. temb projections) runs at model.dtype and converts its f32 params
+# to bf16 on every call. This list is a NAMING CONVENTION — the real
+# invariant (pre-casting changes no bit of any registered family's eval
+# forward) is pinned by test_cast_params_for_eval_bit_identical; any new
+# f32-computing module must either match a marker here or fail that test.
+_F32_PARAM_MARKERS = ("norm", "fourier", "logsnr", "pos_dense")
 
 
 def cast_params_for_eval(model, params):

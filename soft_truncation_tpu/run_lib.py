@@ -13,7 +13,6 @@ import os
 import time
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from . import data as datasets
@@ -105,28 +104,10 @@ def train(config, workdir, assetdir=None):
   rs = replicated_sharding(mesh)
   sbs = stacked_batch_sharding(mesh)
 
-  dequant = config.data.dequantization == "uniform"
-
-  def _preprocess(batch, k):
-    # fused into the train program: uint8->float (uint8 transport),
-    # dequantization, scaling. Running these eagerly costs several small
-    # dispatches per step — measured ~20% of end-to-end wall on a v5e
-    # (benchmarks/ROOFLINE.md).
-    if batch.dtype == jnp.uint8 and dequant:
-      # exact form of the reference chain 255*(k/255)+u)/256 = (k+u)/256
-      # (one f32 rounding instead of three; agrees with the float-
-      # transport chain to <=1 ulp — test_uint8_transport_*)
-      batch = ((batch.astype(jnp.float32) + jax.random.uniform(k, batch.shape))
-               * np.float32(1.0 / 256.0))
-    else:
-      if batch.dtype == jnp.uint8:
-        # x * f32(1/255): same op tf.image.convert_image_dtype performs
-        # (bit-identical eagerly; XLA fusion can differ by 1 ulp)
-        batch = batch.astype(jnp.float32) * np.float32(1.0 / 255.0)
-      if dequant:
-        batch = (255.0 * batch
-                 + jax.random.uniform(k, batch.shape)) / 256.0
-    return scaler(batch)
+  # uint8 transport + dequantization + scaling, fused into the train
+  # program (shared with tools/bench_e2e_loop.py so the bench replica runs
+  # the identical program).
+  _preprocess = datasets.make_preprocess_fn(config)
 
   # K steps per dispatch (config.tpu.steps_per_dispatch): one XLA program
   # trains a [K, B, ...] window, amortizing per-dispatch runtime latency.

@@ -22,3 +22,19 @@ def setup_compilation_cache(cache_dir: str = DEFAULT_DIR) -> None:
   os.makedirs(cache_dir, exist_ok=True)
   jax.config.update("jax_compilation_cache_dir", cache_dir)
   jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+
+
+def setup_compilation_cache_from_argv() -> bool:
+  """Bench/profiling-tool entry: enable the cache unless disabled via
+  ``--no-compile-cache`` in sys.argv or ``ST_TPU_NO_COMPILE_CACHE=1``.
+
+  Cold-compile measurements need the persistent cache OFF so compile_s is
+  interpretable (a warm-cache repeat is seconds, cold is minutes for the
+  big sampler scans). Returns whether the cache is on, for tagging
+  records with their cache state."""
+  import sys
+  enabled = ("--no-compile-cache" not in sys.argv
+             and os.environ.get("ST_TPU_NO_COMPILE_CACHE", "") != "1")
+  if enabled:
+    setup_compilation_cache()
+  return enabled

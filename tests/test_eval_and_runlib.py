@@ -107,6 +107,48 @@ def _pipeline_config():
   return config
 
 
+def test_double_buffer_persists_inflight_shard_on_error():
+  """Double-buffering dispatches shard r+1 before shard r's host work; if
+  featurize/IO for shard r raises, shard r+1's completed device work must
+  still land on disk (resume then skips it instead of re-paying minutes of
+  sampler time)."""
+  from soft_truncation_tpu.data import get_data_inverse_scaler
+  from soft_truncation_tpu.eval import evaluation, sampling_io
+  from soft_truncation_tpu.models import create_model
+  from soft_truncation_tpu.sample import get_sampling_fn
+  from soft_truncation_tpu.sde import get_sde
+
+  config = _pipeline_config()
+  sde = get_sde(config)
+  model = create_model(config)
+  x = np.zeros((2, 8, 8, 3), np.float32)
+  params = model.init({"params": jax.random.PRNGKey(0)}, x,
+                      np.ones((2,), np.float32), train=False)["params"]
+  shape = (config.sampling.batch_size, 8, 8, 3)
+  sampling_fn = get_sampling_fn(config, sde, shape,
+                                get_data_inverse_scaler(config),
+                                config.sampling.truncation_time)
+
+  class FailingExtractor:
+    name = "failing"
+    softmax = False
+    def __call__(self, imgs):
+      raise RuntimeError("featurize blew up")
+
+  with tempfile.TemporaryDirectory() as sample_dir:
+    with pytest.raises(RuntimeError, match="featurize blew up"):
+      evaluation.compute_fid_and_is(
+          config, model, params, sampling_fn, step=1,
+          sample_dir=sample_dir, assetdir=None,
+          num_data=2 * config.sampling.batch_size,
+          extractor=FailingExtractor())
+    dir_name = sampling_io.get_dir_name(config, sample_dir, 1)
+    # shard 0 was written by finish_samples before featurize raised; the
+    # in-flight shard 1 must have been persisted by the cleanup path
+    assert os.path.exists(os.path.join(dir_name, "samples_0.npz"))
+    assert os.path.exists(os.path.join(dir_name, "samples_1.npz"))
+
+
 def test_run_lib_train_and_evaluate_smoke():
   """Full train (3 steps, synthetic data, checkpoints) then evaluate
   (bpd + sampling + FID with the dummy extractor)."""

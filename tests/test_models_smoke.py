@@ -133,6 +133,41 @@ def test_logsnr_monotone():
   assert jnp.all(jnp.diff(g) >= -1e-5)  # monotone nondecreasing
 
 
+@pytest.mark.parametrize("kwargs", [
+    dict(), dict(embedding_type="positional"),
+    dict(fir=True, progressive_input="residual", scale_by_sigma=True),
+], ids=["fourier", "positional", "uncsnpp"])
+def test_cast_params_for_eval_bit_identical(kwargs):
+  """cast_params_for_eval's f32-preservation list is a naming convention;
+  THIS is the invariant it stands in for: pre-casting the params must not
+  change a single bit of the eval forward (the bf16 convs see the same
+  bf16 values either way). Any future f32-computing module whose param
+  path misses the marker list fails here."""
+  from soft_truncation_tpu.models.score import cast_params_for_eval
+
+  config = tiny_ncsnpp_config(**kwargs)
+  config.tpu.compute_dtype = "bfloat16"
+  model = create_model(config)
+  assert model.dtype == jnp.bfloat16
+  x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 3))
+  t = jnp.asarray([1.0, 10.0])
+  params = model.init({"params": jax.random.PRNGKey(1)}, x, t,
+                      train=False)["params"]
+
+  cast = cast_params_for_eval(model, params)
+  leaves = jax.tree_util.tree_flatten_with_path(cast)[0]
+  assert any(p.dtype == jnp.bfloat16 for _, p in leaves)  # not vacuous
+  # norm/fourier leaves must stay f32 (their modules compute in f32)
+  for path, p in leaves:
+    if any(m in jax.tree_util.keystr(path).lower()
+           for m in ("norm", "fourier")):
+      assert p.dtype == jnp.float32, jax.tree_util.keystr(path)
+
+  out0 = np.asarray(model.apply({"params": params}, x, t, train=False))
+  out1 = np.asarray(model.apply({"params": cast}, x, t, train=False))
+  np.testing.assert_array_equal(out0, out1)
+
+
 @pytest.mark.parametrize("policy", ["full", "conv_outputs"])
 def test_ncsnpp_remat_policies_match_nonremat(policy):
   """tpu.remat + either remat_policy must change neither the forward nor

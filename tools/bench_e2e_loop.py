@@ -27,7 +27,8 @@ from soft_truncation_tpu.parallel import (make_mesh, replicated_sharding,
     stacked_batch_sharding)
 from soft_truncation_tpu.sde import get_sde
 from soft_truncation_tpu.train import init_train_state, make_multi_train_step
-from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
+from soft_truncation_tpu.utils.compile_cache import (
+    setup_compilation_cache_from_argv)
 import importlib.util
 spec = importlib.util.spec_from_file_location(
     "cfgmod", "soft_truncation_tpu/configs/vp/CIFAR10/ddpmpp_nll_st.py")
@@ -37,20 +38,17 @@ config.data.dataset = "Synthetic"
 config.training.batch_size = 128
 config.optim.num_micro_batch = 1
 config.tpu.compute_dtype = "bfloat16"
-setup_compilation_cache()
+setup_compilation_cache_from_argv()
 
 sde = get_sde(config); model = create_model(config); tx = get_optimizer(config)
 state = init_train_state(jax.random.PRNGKey(0), config, model, tx)
-scaler = datasets.get_data_scaler(config)
 mesh = make_mesh(); rs = replicated_sharding(mesh)
 sbs = stacked_batch_sharding(mesh)
-dequant = config.data.dequantization == "uniform"
-def _preprocess(batch, k):
-  if dequant:
-    batch = (255.0 * batch + jax.random.uniform(k, batch.shape)) / 256.0
-  return scaler(batch)
+# The exact production preprocess (incl. the uint8-transport branch that
+# get_batch exercises for Synthetic) — shared with run_lib.train so this
+# bench measures the identical program.
 window_fn = make_multi_train_step(config, sde, model, tx,
-                                  preprocess=_preprocess)
+                                  preprocess=datasets.make_preprocess_fn(config))
 jitted = jax.jit(window_fn, in_shardings=(rs, sbs, rs),
                  out_shardings=(rs, rs, rs), donate_argnums=(0,))
 state = jax.device_put(state, rs)

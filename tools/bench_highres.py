@@ -23,13 +23,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# Gate the persistent compile cache so cold-compile timings are possible
-# (--no-compile-cache or ST_TPU_NO_COMPILE_CACHE=1); records note the state.
-COMPILE_CACHE = ("--no-compile-cache" not in sys.argv
-                 and os.environ.get("ST_TPU_NO_COMPILE_CACHE", "") != "1")
-if COMPILE_CACHE:
-  from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
-  setup_compilation_cache()
+from soft_truncation_tpu.utils.compile_cache import (
+    setup_compilation_cache_from_argv)
+COMPILE_CACHE = setup_compilation_cache_from_argv()
 
 
 def run_one(res: int, batch: int) -> dict:

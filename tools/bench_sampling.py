@@ -17,14 +17,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-# Cold-compile measurements need the persistent cache off; gate on flag/env
-# so compile_s is interpretable (a warm-cache repeat is seconds, cold is
-# minutes for the big sampler scans).
-COMPILE_CACHE = ("--no-compile-cache" not in sys.argv
-                 and os.environ.get("ST_TPU_NO_COMPILE_CACHE", "") != "1")
-if COMPILE_CACHE:
-  from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
-  setup_compilation_cache()
+from soft_truncation_tpu.utils.compile_cache import (
+    setup_compilation_cache_from_argv)
+COMPILE_CACHE = setup_compilation_cache_from_argv()
 
 CONFIG_PATH = "soft_truncation_tpu/configs/ve/CIFAR10/uncsnpp_st.py"
 
@@ -48,8 +43,12 @@ def _load_config(batch: int):
   return config
 
 
-def _setup(config, batch: int):
-  """Shared model/state/sampler construction for all three sampler paths."""
+def _setup(config, batch: int, build_state: bool = True):
+  """Shared model/state/sampler construction for all three sampler paths.
+
+  build_state=False skips model.init + optimizer init on the device (used
+  by the roofline probe, which only needs the sampler callable — its
+  model/params arguments come from the main setup)."""
   from soft_truncation_tpu.data import get_data_inverse_scaler
   from soft_truncation_tpu.models import create_model
   from soft_truncation_tpu.sample import get_sampling_fn
@@ -59,8 +58,10 @@ def _setup(config, batch: int):
 
   sde = get_sde(config)
   model = create_model(config)
-  state = init_train_state(jax.random.PRNGKey(0), config, model,
-                           get_optimizer(config))
+  state = None
+  if build_state:
+    state = init_train_state(jax.random.PRNGKey(0), config, model,
+                             get_optimizer(config))
   shape = (batch, 32, 32, 3)
   sampler = get_sampling_fn(config, sde, shape,
                             get_data_inverse_scaler(config),
@@ -116,7 +117,7 @@ def run_one(batch: int) -> dict:
   # per-model-eval FLOPs/bytes (scales linearly in N; N=10 compiles fast)
   probe_cfg = _load_config(batch)
   probe_cfg.model.num_scales = 10
-  _, _, _, probe = _setup(probe_cfg, batch)
+  _, _, _, probe = _setup(probe_cfg, batch, build_state=False)
   lowered = probe.lower(model, state.params, jax.random.PRNGKey(0))
   ca = lowered.compile().cost_analysis() or {}
   # XLA's cost model counts a scan body ONCE regardless of trip count

@@ -22,8 +22,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-from soft_truncation_tpu.utils.compile_cache import setup_compilation_cache
-setup_compilation_cache()
+from soft_truncation_tpu.utils.compile_cache import (
+    setup_compilation_cache_from_argv)
+COMPILE_CACHE = setup_compilation_cache_from_argv()
 
 
 def main():
@@ -76,14 +77,19 @@ def main():
   float(samples.mean())
   compile_s = time.perf_counter() - t0
 
-  nfes = []
-  t0 = time.perf_counter()
+  # pair each run's wall time with ITS OWN nfe — adaptive dopri5 NFE varies
+  # per key, and mean(dt)/max(nfe) would understate ms_per_nfe whenever the
+  # runs disagree
+  nfes, dts = [], []
   for i in range(3):
+    t0 = time.perf_counter()
     samples, nfe = sampler(model, params, jax.random.PRNGKey(2 + i))
     float(samples.mean())
+    dts.append(time.perf_counter() - t0)
     nfes.append(int(nfe))
-  dt = (time.perf_counter() - t0) / 3
+  dt = sum(dts) / len(dts)
   nfe = max(nfes)
+  ms_per_nfe = sum(d / n for d, n in zip(dts, nfes)) / len(dts) * 1000
 
   rec = {
       "config": "ve/CIFAR10/uncsnpp_st", "sampler": "ode",
@@ -92,9 +98,10 @@ def main():
       "nfe": nfe, "nfe_runs": nfes, "batch": batch,
       "compute_dtype": "bfloat16",
       "norm_dtype": "bfloat16" if bf16_norms else "float32",
+      "compile_cache": "on" if COMPILE_CACHE else "off",
       "compile_s": round(compile_s, 1),
       "batch_s": round(dt, 2),
-      "ms_per_nfe": round(dt / nfe * 1000, 3),
+      "ms_per_nfe": round(ms_per_nfe, 3),
       "imgs_per_sec": round(batch / dt, 2),
       "fid50k_min_per_chip": round(dt * (50000 / batch) / 60, 1),
       "device": str(jax.devices()[0]),

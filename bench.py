@@ -13,7 +13,9 @@ north star asks for >= 3x that estimate on TPU.
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 import jax
@@ -28,8 +30,31 @@ BATCH = 128
 WARMUP = 3
 ITERS = 20
 
+# Worst honest path is ~7 min (2-3 min axon device init after a killed TPU
+# process + up to 2 min cold compile + ~2 min of steps). A wedged axon
+# tunnel, however, blocks device init indefinitely (observed: >15 min, in
+# an uninterruptible C call) — emit a diagnosable JSON line and exit
+# instead of hanging the driver's round-end bench forever.
+WATCHDOG_S = 1800
+_done = threading.Event()
+
+
+def _watchdog():
+  if _done.wait(WATCHDOG_S):
+    return
+  print(json.dumps({
+      "metric": "cifar10_ddpmpp_train_imgs_per_sec_per_chip",
+      "value": 0.0,
+      "unit": "imgs/sec/chip",
+      "vs_baseline": 0.0,
+      "error": (f"watchdog: no result after {WATCHDOG_S}s — device init or "
+                "compile never completed (wedged axon tunnel?)"),
+  }), flush=True)
+  os._exit(2)
+
 
 def main():
+  threading.Thread(target=_watchdog, daemon=True).start()
   from soft_truncation_tpu.losses import get_optimizer
   from soft_truncation_tpu.models import create_model
   from soft_truncation_tpu.parallel import (batch_sharding, make_mesh,
@@ -120,6 +145,7 @@ def main():
       "flops_per_step": step_flops,
       "hbm_bytes_per_step": step_bytes,
   }))
+  _done.set()
 
 
 if __name__ == "__main__":

@@ -13,8 +13,11 @@ import os
 DEFAULT_DIR = "~/.cache/soft_truncation_tpu_xla"
 
 
-def setup_compilation_cache(cache_dir: str = DEFAULT_DIR) -> None:
-  """Enable the persistent cache; '' disables (no-op)."""
+def setup_compilation_cache(cache_dir: str | None = None) -> None:
+  """Enable the persistent cache; None → DEFAULT_DIR (resolved at call
+  time so it can be overridden), '' disables (no-op)."""
+  if cache_dir is None:
+    cache_dir = DEFAULT_DIR
   if not cache_dir:
     return
   import jax

@@ -35,6 +35,11 @@ ITERS = 20
 # tunnel, however, blocks device init indefinitely (observed: >15 min, in
 # an uninterruptible C call) — emit a diagnosable JSON line and exit
 # instead of hanging the driver's round-end bench forever.
+# A daemon THREAD (not signal.alarm) is deliberate: the wedge is a
+# blocking C call in the MAIN thread, and Python signal handlers only run
+# on the main thread between bytecodes — an alarm would never fire. The
+# blocking PJRT/tunnel RPCs release the GIL while they wait, so this
+# thread does get scheduled and os._exit(2) works mid-wedge.
 WATCHDOG_S = 1800
 _done = threading.Event()
 
@@ -128,6 +133,10 @@ def main():
   # number needs more HBM bandwidth (v5p: 2.8x, v6e: 2x v5e's) or a
   # program-level byte diet, not better scheduling of this program.
   ceiling_per_chip = (per_chip / hbm_frac) if hbm_frac else None
+  # Disarm BEFORE printing: a run that finishes right at WATCHDOG_S must
+  # not emit a second (error) JSON line after the real one ("ONE line"
+  # contract) or exit 2 on success.
+  _done.set()
   print(json.dumps({
       "metric": "cifar10_ddpmpp_train_imgs_per_sec_per_chip",
       "value": round(per_chip, 2),
@@ -145,7 +154,6 @@ def main():
       "flops_per_step": step_flops,
       "hbm_bytes_per_step": step_bytes,
   }))
-  _done.set()
 
 
 if __name__ == "__main__":

@@ -44,6 +44,26 @@ WATCHDOG_S = 1800
 _done = threading.Event()
 
 
+def _last_measured():
+  """Most recent prior-round bench record (BENCH_r*.json), so a wedged
+  tunnel still surfaces the known measured number — clearly labeled as
+  a PRIOR measurement, not this run's."""
+  import glob
+  here = os.path.dirname(os.path.abspath(__file__))
+  records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+  if not records:
+    return None
+  try:
+    with open(records[-1]) as f:
+      rec = json.load(f)
+    parsed = rec.get("parsed") or {}
+    return {"file": os.path.basename(records[-1]),
+            "value": parsed.get("value"),
+            "vs_baseline": parsed.get("vs_baseline")} if parsed else None
+  except (OSError, json.JSONDecodeError):
+    return None
+
+
 def _watchdog():
   if _done.wait(WATCHDOG_S):
     return
@@ -54,6 +74,7 @@ def _watchdog():
       "vs_baseline": 0.0,
       "error": (f"watchdog: no result after {WATCHDOG_S}s — device init or "
                 "compile never completed (wedged axon tunnel?)"),
+      "last_measured_prior_round": _last_measured(),
   }), flush=True)
   os._exit(2)
 

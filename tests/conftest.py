@@ -23,7 +23,7 @@ _FAST_FILES = {
     "test_eval_stats_formats.py", "test_cleanfid_api.py",
     "test_tfhub_extractor.py", "test_dispatch_window.py",
     "test_utils_misc.py", "test_tpu_probe.py", "test_sde_properties.py",
-    "test_resample_properties.py",
+    "test_resample_properties.py", "test_cli_shim.py",
 }
 _FAST_NODES = {
     "test_ncsnpp_parity.py::test_forward_parity[ddpmpp]",

@@ -129,6 +129,38 @@ class ConditionalInstanceNorm2dPlus(nn.Module):
     return gamma[:, None, None, :] * h
 
 
+class ConditionalBatchNorm2d(nn.Module):
+  """models/normalization.py:43-66. Dead code in the reference — its
+  ``get_normalization`` conditional branch only resolves InstanceNorm++
+  (models/normalization.py:25-29) — implemented for inventory
+  completeness. Batch statistics ride Flax's ``batch_stats`` collection;
+  ``train=True`` normalizes by the batch like torch train mode,
+  ``train=False`` uses the running stats."""
+
+  num_classes: int
+  bias: bool = True
+
+  @nn.compact
+  def __call__(self, x: Array, y: Array, train: bool = True) -> Array:
+    c = x.shape[-1]
+    h = nn.BatchNorm(use_running_average=not train, use_bias=False,
+                     use_scale=False, momentum=0.9, epsilon=1e-5,
+                     name="bn")(x)
+    if self.bias:
+      def init(key, shape, dtype=jnp.float32):
+        return jnp.concatenate([
+            jax.random.uniform(key, (shape[0], c), dtype),
+            jnp.zeros((shape[0], c), dtype)], -1)
+      emb = nn.Embed(self.num_classes, 2 * c, embedding_init=init,
+                     name="embed")(y)
+      gamma, beta = jnp.split(emb, 2, axis=-1)
+      return gamma[:, None, None, :] * h + beta[:, None, None, :]
+    emb = nn.Embed(self.num_classes, c,
+                   embedding_init=nn.initializers.uniform(1.0),
+                   name="embed")(y)
+    return emb[:, None, None, :] * h
+
+
 class ConditionalInstanceNorm2d(nn.Module):
   """models/normalization.py:68-90."""
 

@@ -24,6 +24,7 @@ _FAST_FILES = {
     "test_tfhub_extractor.py", "test_dispatch_window.py",
     "test_utils_misc.py", "test_tpu_probe.py", "test_sde_properties.py",
     "test_resample_properties.py", "test_cli_shim.py",
+    "test_normalization_parity.py",
 }
 _FAST_NODES = {
     "test_ncsnpp_parity.py::test_forward_parity[ddpmpp]",

@@ -44,24 +44,35 @@ WATCHDOG_S = 1800
 _done = threading.Event()
 
 
-def _last_measured():
-  """Most recent prior-round bench record (BENCH_r*.json), so a wedged
-  tunnel still surfaces the known measured number — clearly labeled as
-  a PRIOR measurement, not this run's."""
+def _last_measured(here=None):
+  """Most recent prior-round bench record (BENCH_r*.json) that holds a
+  real measurement, so a wedged tunnel still surfaces the known number —
+  clearly labeled as a PRIOR measurement, not this run's. Walks rounds
+  newest-first by NUMERIC round index (lexicographic order breaks past
+  r99) and skips rounds that themselves errored (watchdog lines carry an
+  'error' key and value 0.0)."""
   import glob
-  here = os.path.dirname(os.path.abspath(__file__))
-  records = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-  if not records:
-    return None
-  try:
-    with open(records[-1]) as f:
-      rec = json.load(f)
+  import re
+  here = here or os.path.dirname(os.path.abspath(__file__))
+
+  def round_idx(path):
+    m = re.search(r"BENCH_r(\d+)\.json$", os.path.basename(path))
+    return int(m.group(1)) if m else -1
+
+  for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                     key=round_idx, reverse=True):
+    try:
+      with open(path) as f:
+        rec = json.load(f)
+    except (OSError, json.JSONDecodeError):
+      continue
     parsed = rec.get("parsed") or {}
-    return {"file": os.path.basename(records[-1]),
+    if not parsed or "error" in parsed or rec.get("rc", 0) != 0:
+      continue
+    return {"file": os.path.basename(path),
             "value": parsed.get("value"),
-            "vs_baseline": parsed.get("vs_baseline")} if parsed else None
-  except (OSError, json.JSONDecodeError):
-    return None
+            "vs_baseline": parsed.get("vs_baseline")}
+  return None
 
 
 def _watchdog():

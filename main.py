@@ -33,8 +33,10 @@ def _rewrite_config_path(argv):
     # ml_collections allows "--config path:config_string" suffixes.
     path, sep, rest = val.partition(":")
     candidate = os.path.join(_HERE, "soft_truncation_tpu", path)
-    if not os.path.exists(os.path.join(_HERE, path)) and \
-        os.path.exists(candidate):
+    # Guard on the path exactly as ml_collections would resolve it
+    # (cwd-relative): only rewrite when the user's path does NOT exist,
+    # so a cwd-local configs/ tree is never hijacked.
+    if not os.path.exists(path) and os.path.exists(candidate):
       newval = candidate + sep + rest
       out[j] = newval if j != i else f"--config={newval}"
     break

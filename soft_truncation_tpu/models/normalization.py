@@ -9,7 +9,6 @@ N(1, 0.02) scales and zero biases.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable
 
 import flax.linen as nn
 import jax
@@ -82,19 +81,25 @@ class InstanceNorm2dPlus(nn.Module):
     return gamma * h
 
 
-class _ClassEmbedAffine(nn.Module):
-  """Per-class (gamma[, beta][, alpha]) lookup used by conditional norms."""
+def _class_gamma_beta(num_classes: int, c: int, y: Array):
+  """Per-class (gamma, beta) lookup shared by the conditional norms:
+  uniform[0,1) gamma, zero beta (reference models/normalization.py:50-54,
+  75-79, 133-137). Returns [B,1,1,C]-broadcastable pairs. Must be called
+  from inside an ``nn.compact`` method (creates the ``embed`` submodule)."""
+  def init(key, shape, dtype=jnp.float32):
+    return jnp.concatenate([
+        jax.random.uniform(key, (shape[0], c), dtype),
+        jnp.zeros((shape[0], c), dtype)], -1)
+  emb = nn.Embed(num_classes, 2 * c, embedding_init=init, name="embed")(y)
+  gamma, beta = jnp.split(emb, 2, axis=-1)
+  return gamma[:, None, None, :], beta[:, None, None, :]
 
-  num_classes: int
-  num_features: int
-  parts: int  # how many feature-sized chunks the embedding carries
-  init: Callable
 
-  @nn.compact
-  def __call__(self, y: Array) -> Array:
-    emb = nn.Embed(self.num_classes, self.num_features * self.parts,
-                   embedding_init=self.init, name="embed")(y)
-    return emb
+def _class_gamma(num_classes: int, c: int, y: Array) -> Array:
+  """Per-class gamma-only lookup (the bias=False branches), uniform[0,1)."""
+  emb = nn.Embed(num_classes, c, embedding_init=nn.initializers.uniform(1.0),
+                 name="embed")(y)
+  return emb[:, None, None, :]
 
 
 class ConditionalInstanceNorm2dPlus(nn.Module):
@@ -129,13 +134,47 @@ class ConditionalInstanceNorm2dPlus(nn.Module):
     return gamma[:, None, None, :] * h
 
 
+class _BatchNorm2dTorch(nn.Module):
+  """``torch.nn.BatchNorm2d(affine=False)`` running-stats semantics.
+
+  Flax's ``nn.BatchNorm`` accumulates the BIASED batch variance into the
+  running variance; torch normalizes by the biased variance in train mode
+  but accumulates the UNBIASED (n/(n-1)) variance into ``running_var``
+  (torch _BatchNorm.forward), so train-then-eval outputs differ. torch's
+  default momentum is 0.1: running = (1-0.1)*running + 0.1*batch."""
+
+  momentum: float = 0.1
+  epsilon: float = 1e-5
+
+  @nn.compact
+  def __call__(self, x: Array, train: bool = True) -> Array:
+    c = x.shape[-1]
+    ra_mean = self.variable("batch_stats", "mean",
+                            lambda: jnp.zeros((c,), jnp.float32))
+    ra_var = self.variable("batch_stats", "var",
+                           lambda: jnp.ones((c,), jnp.float32))
+    if train:
+      n = x.shape[0] * x.shape[1] * x.shape[2]
+      mean = jnp.mean(x, axis=(0, 1, 2))
+      var = jnp.var(x, axis=(0, 1, 2))  # biased: normalizes the batch
+      if not self.is_initializing():
+        unbiased = var * n / max(n - 1, 1)
+        m = self.momentum
+        ra_mean.value = (1.0 - m) * ra_mean.value + m * mean
+        ra_var.value = (1.0 - m) * ra_var.value + m * unbiased
+    else:
+      mean, var = ra_mean.value, ra_var.value
+    return (x - mean) / jnp.sqrt(var + self.epsilon)
+
+
 class ConditionalBatchNorm2d(nn.Module):
   """models/normalization.py:43-66. Dead code in the reference — its
   ``get_normalization`` conditional branch only resolves InstanceNorm++
   (models/normalization.py:25-29) — implemented for inventory
   completeness. Batch statistics ride Flax's ``batch_stats`` collection;
   ``train=True`` normalizes by the batch like torch train mode,
-  ``train=False`` uses the running stats."""
+  ``train=False`` uses the running stats (unbiased-variance accumulation,
+  torch semantics — see _BatchNorm2dTorch)."""
 
   num_classes: int
   bias: bool = True
@@ -143,22 +182,11 @@ class ConditionalBatchNorm2d(nn.Module):
   @nn.compact
   def __call__(self, x: Array, y: Array, train: bool = True) -> Array:
     c = x.shape[-1]
-    h = nn.BatchNorm(use_running_average=not train, use_bias=False,
-                     use_scale=False, momentum=0.9, epsilon=1e-5,
-                     name="bn")(x)
+    h = _BatchNorm2dTorch(name="bn")(x, train=train)
     if self.bias:
-      def init(key, shape, dtype=jnp.float32):
-        return jnp.concatenate([
-            jax.random.uniform(key, (shape[0], c), dtype),
-            jnp.zeros((shape[0], c), dtype)], -1)
-      emb = nn.Embed(self.num_classes, 2 * c, embedding_init=init,
-                     name="embed")(y)
-      gamma, beta = jnp.split(emb, 2, axis=-1)
-      return gamma[:, None, None, :] * h + beta[:, None, None, :]
-    emb = nn.Embed(self.num_classes, c,
-                   embedding_init=nn.initializers.uniform(1.0),
-                   name="embed")(y)
-    return emb[:, None, None, :] * h
+      gamma, beta = _class_gamma_beta(self.num_classes, c, y)
+      return gamma * h + beta
+    return _class_gamma(self.num_classes, c, y) * h
 
 
 class ConditionalInstanceNorm2d(nn.Module):
@@ -172,18 +200,9 @@ class ConditionalInstanceNorm2d(nn.Module):
     c = x.shape[-1]
     h = instance_norm_2d(x)
     if self.bias:
-      def init(key, shape, dtype=jnp.float32):
-        return jnp.concatenate([
-            jax.random.uniform(key, (shape[0], c), dtype),
-            jnp.zeros((shape[0], c), dtype)], -1)
-      emb = nn.Embed(self.num_classes, 2 * c, embedding_init=init,
-                     name="embed")(y)
-      gamma, beta = jnp.split(emb, 2, axis=-1)
-      return gamma[:, None, None, :] * h + beta[:, None, None, :]
-    emb = nn.Embed(self.num_classes, c,
-                   embedding_init=nn.initializers.uniform(1.0),
-                   name="embed")(y)
-    return emb[:, None, None, :] * h
+      gamma, beta = _class_gamma_beta(self.num_classes, c, y)
+      return gamma * h + beta
+    return _class_gamma(self.num_classes, c, y) * h
 
 
 class ConditionalVarianceNorm2d(nn.Module):
@@ -214,18 +233,9 @@ class ConditionalNoneNorm2d(nn.Module):
   def __call__(self, x: Array, y: Array) -> Array:
     c = x.shape[-1]
     if self.bias:
-      def init(key, shape, dtype=jnp.float32):
-        return jnp.concatenate([
-            jax.random.uniform(key, (shape[0], c), dtype),
-            jnp.zeros((shape[0], c), dtype)], -1)
-      emb = nn.Embed(self.num_classes, 2 * c, embedding_init=init,
-                     name="embed")(y)
-      gamma, beta = jnp.split(emb, 2, axis=-1)
-      return gamma[:, None, None, :] * x + beta[:, None, None, :]
-    emb = nn.Embed(self.num_classes, c,
-                   embedding_init=nn.initializers.uniform(1.0),
-                   name="embed")(y)
-    return emb[:, None, None, :] * x
+      gamma, beta = _class_gamma_beta(self.num_classes, c, y)
+      return gamma * x + beta
+    return _class_gamma(self.num_classes, c, y) * x
 
 
 def get_normalization(config, conditional: bool = False):

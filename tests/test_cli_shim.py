@@ -51,3 +51,15 @@ def test_nonexistent_path_untouched():
 def test_other_flags_untouched():
   argv = ["main.py", "--config.training.n_iters", "3", "--workdir", "w"]
   assert shim._rewrite_config_path(argv) == argv
+
+
+def test_cwd_local_config_not_hijacked(tmp_path, monkeypatch):
+  """ml_collections resolves --config relative to the cwd; a user running
+  the shim from a directory with its OWN configs/ tree (e.g. the reference
+  checkout) must get their file, not the packaged one."""
+  local = tmp_path / "configs" / "vp" / "CIFAR10"
+  local.mkdir(parents=True)
+  (local / "ddpmpp_nll_st.py").write_text("# the user's own config\n")
+  monkeypatch.chdir(tmp_path)
+  argv = ["main.py", "--config", REF_STYLE, "--mode", "train"]
+  assert shim._rewrite_config_path(argv) == argv

@@ -179,3 +179,44 @@ def test_conditional_batch_norm_train_and_eval(bias):
   want_eval = _run_ref(m2, x, y)
   got_eval = mod.apply(variables, _nhwc(x), jnp.asarray(y), train=False)
   np.testing.assert_allclose(_to_nchw(got_eval), want_eval, **TOL)
+
+
+@pytest.mark.parametrize("bias", [True, False])
+def test_conditional_batch_norm_running_stats_evolution(bias):
+  """Torch accumulates the UNBIASED batch variance into running_var while
+  normalizing by the biased one (torch _BatchNorm.forward); eval outputs
+  after a few train steps expose any mismatch (Flax's stock nn.BatchNorm
+  accumulates the biased variance and misses this by ~2e-3)."""
+  torch, ref = _torch()
+  m = ref.ConditionalBatchNorm2d(C, NCLS, bias=bias)
+
+  mod = zoo.ConditionalBatchNorm2d(num_classes=NCLS, bias=bias)
+  x0, y0 = _x_y()
+  variables = mod.init(jax.random.PRNGKey(0), _nhwc(x0), jnp.asarray(y0))
+  variables = {"params": _embed_params(m),
+               "batch_stats": variables["batch_stats"]}
+
+  rng = np.random.default_rng(7)
+  m.train()
+  for _ in range(3):  # evolve running stats through several batches
+    x = rng.standard_normal((B, C, H, W)).astype(np.float32) * 1.7 + 0.3
+    y = rng.integers(0, NCLS, (B,))
+    want = _run_ref(m, x, y)
+    got, updates = mod.apply(variables, _nhwc(x), jnp.asarray(y),
+                             train=True, mutable=["batch_stats"])
+    variables = {"params": variables["params"],
+                 "batch_stats": updates["batch_stats"]}
+    np.testing.assert_allclose(_to_nchw(got), want, rtol=1e-4, atol=1e-4)
+
+  np.testing.assert_allclose(
+      np.asarray(variables["batch_stats"]["bn"]["mean"]),
+      m.bn.running_mean.numpy(), **TOL)
+  np.testing.assert_allclose(
+      np.asarray(variables["batch_stats"]["bn"]["var"]),
+      m.bn.running_var.numpy(), **TOL)
+
+  m.eval()
+  x, y = _x_y()
+  want_eval = _run_ref(m, x, y)
+  got_eval = mod.apply(variables, _nhwc(x), jnp.asarray(y), train=False)
+  np.testing.assert_allclose(_to_nchw(got_eval), want_eval, **TOL)

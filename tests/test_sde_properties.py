@@ -164,17 +164,41 @@ def test_sample_t_min_in_range(k, eps, seed):
   assert eps - 1e-9 <= v <= sde.T + 1e-6
 
 
-def test_sample_t_min_monotone_in_u():
-  # The inverse CDF must be monotone with endpoints eps (u=0) and T (u=1).
-  eps, k = 1e-4, 1.8
-  us = np.linspace(0.0, 1.0, 101)
-  vals = eps / (1.0 - us * (1.0 - eps ** (k - 1.0))) ** (1.0 / (k - 1.0))
-  assert np.all(np.diff(vals) > 0)
-  np.testing.assert_allclose(vals[0], eps, rtol=1e-6)
-  np.testing.assert_allclose(vals[-1], 1.0, rtol=1e-6)
-  vals1 = eps ** (1.0 - us)  # k == 1 closed form
-  assert np.all(np.diff(vals1) > 0)
-  np.testing.assert_allclose([vals1[0], vals1[-1]], [eps, 1.0], rtol=1e-6)
+@pytest.mark.parametrize("name,k", [("vp", 1.8), ("vp", 1.0), ("rve", 1.8)])
+def test_sample_t_min_matches_oracle_and_monotone(name, k):
+  """Drives the REAL sde.sample_t_min (sde/core.py:105-115, :437-441):
+  recover the u each key draws (jax.random.uniform of the same key),
+  compare against an independent numpy inverse-CDF oracle at that u, and
+  assert the (u, t_min) pairs are monotone — so a sign/exponent typo in
+  the implementation fails here, not just in a re-derived formula."""
+  sde = SDES[name]
+  eps = 1e-4
+
+  def oracle(u):
+    if name == "rve":  # uniform in reciprocal time (sde_lib.py:425-430)
+      return 1.0 / (u * (1.0 / eps - 1.0 / sde.T) + 1.0 / sde.T)
+    if k == 1.0:
+      return eps ** (1.0 - u)
+    return eps / (1.0 - u * (1.0 - eps ** (k - 1.0))) ** (1.0 / (k - 1.0))
+
+  us, vals = [], []
+  for seed in range(64):
+    key = jax.random.PRNGKey(seed)
+    u = float(jax.random.uniform(key, ()))
+    got = float(sde.sample_t_min(key, k, eps))
+    np.testing.assert_allclose(got, oracle(u), rtol=1e-5,
+                               err_msg=f"{name} k={k} seed={seed} u={u}")
+    us.append(u)
+    vals.append(got)
+
+  order = np.argsort(us)
+  diffs = np.diff(np.asarray(vals)[order])
+  sign = -1.0 if name == "rve" else 1.0  # RVE inverse CDF decreases in u
+  assert np.all(sign * diffs > 0), f"{name} t_min(u) not monotone"
+  # endpoint limits of the oracle the implementation must share
+  np.testing.assert_allclose([oracle(0.0), oracle(1.0)],
+                             [eps, sde.T] if name != "rve"
+                             else [sde.T, eps], rtol=1e-6)
 
 
 @pytest.mark.parametrize("name", ["ve", "rve"])

@@ -43,7 +43,12 @@ _CIFAR10 = dict(
         chunk=0,
         # rebuild extension: step count for sampling.method='dpm_solver'
         # (DPM-Solver++(2M), one score eval per step)
-        dpm_steps=50),
+        dpm_steps=50,
+        # rebuild extension: sampling.method='picard' (parallel-in-time
+        # PC, sample/parallel.py): window length, per-position RMS
+        # convergence tolerance (0 = exact sequential trajectory), and
+        # sweep cap (0 = window length, the exactness bound)
+        picard_window=64, picard_tol=1e-2, picard_max_sweeps=0),
     eval=dict(
         begin_ckpt=9, end_ckpt=26, batch_size=200, enable_sampling=False,
         num_samples=50000, enable_loss=True, enable_bpd=False,

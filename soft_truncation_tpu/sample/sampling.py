@@ -202,9 +202,8 @@ def get_sampling_fn(config, sde: SDE, shape, inverse_scaler,
         config, sde, shape, inverse_scaler,
         steps=config.sampling.get("dpm_steps", 50),
         denoise=config.sampling.noise_removal, eps=eps)
-  if name == "pc":
-    return get_pc_sampler(
-        config, sde, shape,
+  if name in ("pc", "picard"):
+    kwargs = dict(
         predictor=config.sampling.predictor.lower(),
         corrector=config.sampling.corrector.lower(),
         inverse_scaler=inverse_scaler,
@@ -214,6 +213,17 @@ def get_sampling_fn(config, sde: SDE, shape, inverse_scaler,
         continuous=config.training.continuous,
         denoise=config.sampling.noise_removal,
         eps=eps)
+    if name == "picard":
+      # Parallel-in-time PC (beyond parity, see parallel.py); late import:
+      # parallel.py uses this module's predictor/corrector registries.
+      from .parallel import get_picard_pc_sampler
+      return get_picard_pc_sampler(
+          config, sde, shape,
+          window=config.sampling.get("picard_window", 64),
+          tol=config.sampling.get("picard_tol", 1e-2),
+          max_sweeps=config.sampling.get("picard_max_sweeps", 0),
+          **kwargs)
+    return get_pc_sampler(config, sde, shape, **kwargs)
   raise ValueError(f"Sampler name {config.sampling.method} unknown.")
 
 

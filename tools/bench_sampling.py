@@ -175,14 +175,52 @@ def run_one_dpm(batch: int, steps: int = 50) -> dict:
                  compile_s, dt, nfe, batch)
 
 
+def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
+  """Parallel-in-time Picard PC (sample/parallel.py, beyond parity): a
+  LATENCY play for small batches — batches the time axis (window x batch
+  images per network call) and converges in far fewer sweeps than the
+  window length. Times the sequential PC sampler at the same batch in
+  the same process so the speedup column is a same-process A/B, and
+  reports the RMS deviation of the Picard samples from the sequential
+  trajectory with the same PRNG key (tol=0 would make it exact)."""
+  config = _load_config(batch)
+  config.sampling.chunk = 100
+  sde, model, state, sampler = _setup(config, batch)
+  seq_compile_s, seq_dt, seq_nfe = _time_sampler(sampler, model,
+                                                 state.params)
+  seq_samples, _ = sampler(model, state.params, jax.random.PRNGKey(2))
+
+  window = window or max(8, 128 // max(batch, 1))  # W*B ~ 128 images/eval
+  pcfg = _load_config(batch)
+  pcfg.sampling.method = "picard"
+  pcfg.sampling.picard_window = window
+  pcfg.sampling.picard_tol = tol
+  _, _, _, psampler = _setup(pcfg, batch, build_state=False)
+  compile_s, dt, nfe = _time_sampler(psampler, model, state.params)
+  psamples, _ = psampler(model, state.params, jax.random.PRNGKey(2))
+
+  import numpy as np
+  rms = float(np.sqrt(np.mean(
+      (np.asarray(psamples) - np.asarray(seq_samples)) ** 2)))
+  return _record({
+      "sampler": "picard", "N": int(sde.N), "window": window, "tol": tol,
+      "seq_batch_s": round(seq_dt, 2), "seq_nfe": seq_nfe,
+      "latency_speedup_vs_pc": round(seq_dt / dt, 2),
+      "rms_vs_sequential": round(rms, 5),
+  }, compile_s, dt, nfe, batch)
+
+
 def main():
   args = [a for a in sys.argv[1:]]
   ode = "--ode" in args
   dpm = "--dpm" in args
+  picard = "--picard" in args
   args = [a for a in args if not a.startswith("--")]
   batches = [int(a) for a in args] if args else (
+      [1, 4, 16] if picard else
       [64, 128, 256] if (ode or dpm) else [256, 512, 1024])
-  fn = run_one_dpm if dpm else (run_one_ode if ode else run_one)
+  fn = (run_one_picard if picard else
+        run_one_dpm if dpm else (run_one_ode if ode else run_one))
   recs = [fn(b) for b in batches]
   out = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "benchmarks", "sampling.jsonl")

@@ -9,7 +9,7 @@ from .sampling import (
     get_corrector,
 )
 from .ode import odeint_dopri5, odeint_rk4_fixed
-from .parallel import get_picard_pc_sampler
+from .parallel import get_picard_dpm_sampler, get_picard_pc_sampler
 
 __all__ = [
     "get_sampling_fn",
@@ -17,6 +17,7 @@ __all__ = [
     "get_ode_sampler",
     "get_dpm_solver_sampler",
     "get_picard_pc_sampler",
+    "get_picard_dpm_sampler",
     "register_predictor",
     "register_corrector",
     "get_predictor",

@@ -1,35 +1,38 @@
-"""Parallel-in-time (Picard) PC sampling — beyond-parity fast path.
+"""Parallel-in-time (Picard) sampling — beyond-parity fast paths.
 
 ParaDiGMS (Shih et al., "Parallel Sampling of Diffusion Models",
-arXiv:2305.16317) adapted to this framework's predictor-corrector
-samplers. The reference (sampling.py:365-433) — and our `get_pc_sampler`
-— runs N=1000-2000 strictly sequential network evaluations per batch;
-at small batch (single-image latency, high-resolution configs) the chip
-is mostly idle inside each eval. This sampler batches over the TIME
-axis instead: it holds a window of W trajectory guesses, evaluates all
-W per-step updates in ONE batched network call (W x batch images), and
-Picard-iterates the window to its fixed point.
+arXiv:2305.16317) adapted to this framework's samplers. The reference
+(sampling.py:365-433) — and our `get_pc_sampler` / `get_dpm_solver_
+sampler` — runs N strictly sequential network evaluations per batch; at
+small batch (single-image latency, high-resolution configs) the chip is
+mostly idle inside each eval. These samplers batch over the TIME axis
+instead: they hold a window of W trajectory guesses, evaluate all W
+per-step updates in ONE batched network call (W x batch images), and
+Picard-iterate the window to its fixed point.
 
 Why the fixed point is EXACT (not an approximation): with all per-step
 noises frozen (drawn from the same key chain the sequential sampler
-uses), one PC step is x_{j+1} = x_j + g_j(x_j) for a deterministic g_j.
-The Picard sweep
+uses), one step is s_{j+1} = s_j + g_j(s_j) for a deterministic g_j —
+for PC the state s is the sample x; for the multistep DPM-Solver++(2M)
+it is the pair (x, previous data-prediction), which turns the two-step
+recurrence into a one-step chain. The Picard sweep
 
-    X'[j+1] = x_in + sum_{i<=j} g_i(X[i])        (a cumsum over the window)
+    S'[j+1] = s_in + sum_{i<=j} g_i(S[i])        (a cumsum over the window)
 
-telescopes at stationarity to X[j+1] = X[j] + g_j(X[j]) — the sequential
+telescopes at stationarity to S[j+1] = S[j] + g_j(S[j]) — the sequential
 recursion itself. Information provably propagates at least one window
 position per sweep, so `max_sweeps = W` always reaches the exact
-trajectory; in practice diffusion increments depend weakly on x and the
-window converges in far fewer sweeps (the paper's source of speedup).
-Wall-clock win = (sequential steps) / (sweeps actually needed), as long
-as the chip has idle capacity to absorb the W-fold larger batch — the
-TPU regime at batch 1-8.
+trajectory; in practice diffusion increments depend weakly on the state
+and the window converges in far fewer sweeps (the paper's source of
+speedup). Wall-clock win = (sequential steps) / (sweeps actually
+needed), as long as the chip has idle capacity to absorb the W-fold
+larger batch — the TPU regime at batch 1-8.
 
 Tolerance: a window position counts as converged when the RMS change of
 its state between sweeps is <= `tol` (absolute, data units — inputs live
-in [-1, 1]). `tol = 0` forces the exact fixed point (tested against
-`get_pc_sampler` with the same PRNG key in tests/test_picard_parallel.py).
+in [-1, 1]). `tol = 0` forces the exact fixed point (tested against the
+sequential samplers with the same PRNG key in
+tests/test_picard_parallel.py).
 
 Floating-point caveat: "exact" means exact in exact arithmetic. In f32
 the prefix-sum evaluates the same chain in a different summation order,
@@ -55,6 +58,90 @@ from .sampling import get_corrector, get_predictor
 Array = jax.Array
 
 
+def _picard_chain(step_fn, s_in, n: int, window: int, tol: float,
+                  max_sweeps: int, evals_per_step: int):
+  """Run the chain s_{i+1} = step_fn(s_i, i)[0] for i in [0, n) by
+  block-wise Picard iteration over pytree states.
+
+  step_fn(s, i) -> (s_next, aux) where aux is any pytree computed by the
+  step (e.g. the predictor's x_mean); the aux of the LAST executed step
+  is returned alongside the final state. Returns (s_n, aux_last, nfe)
+  with nfe = sweeps x window positions x evals_per_step summed over
+  blocks (a traced scalar — sweeps are data-dependent)."""
+  W = max(1, min(int(window), n))
+  n_full = n // W
+  tail = n - n_full * W
+  max_sweeps_ = int(max_sweeps) if max_sweeps else W
+
+  vstep = jax.vmap(step_fn, in_axes=(0, 0))
+
+  def _rms_err(Sn, S):
+    """Max over leaves and window positions of the per-position RMS
+    state change between sweeps."""
+    def leaf(a, b):
+      d = (a - b).reshape(a.shape[0], -1)
+      return jnp.max(jnp.sqrt(jnp.mean(d * d, axis=-1)))
+    return jnp.max(jnp.stack(jax.tree.leaves(
+        jax.tree.map(leaf, Sn, S))))
+
+  def run_block(s_in_blk, aux_in, idx0, w_blk):
+    idxs = idx0 + jnp.arange(w_blk)
+    S0 = jax.tree.map(
+        lambda l: jnp.broadcast_to(l, (w_blk,) + l.shape), s_in_blk)
+
+    def cond(carry):
+      _, _, _, err, sweeps = carry
+      # NaN err means not-yet-visited window positions exploded (their
+      # garbage guesses can overflow in f32 before the exact prefix
+      # reaches them) — that is "not converged", NOT "done": the exact
+      # prefix still grows >= 1 position per sweep regardless of the
+      # tail (position j's cumsum only reads increments i < j), so
+      # iterating to max_sweeps_ washes the garbage out. A plain
+      # `err > tol` is False for NaN and would exit with garbage.
+      not_converged = jnp.logical_or(jnp.isnan(err), err > tol)
+      return jnp.logical_and(not_converged, sweeps < max_sweeps_)
+
+    def body(carry):
+      S, _, _, _, sweeps = carry
+      S_new, aux = vstep(S, idxs)
+      csum = jax.tree.map(
+          lambda a, b: jnp.cumsum(a - b, axis=0), S_new, S)
+      # S[0] is pinned to the block entry state; positions j >= 1 get
+      # the prefix-summed update (the Picard sweep).
+      Sn = jax.tree.map(
+          lambda s, c, si: jnp.concatenate([s[:1], si[None] + c[:-1]], 0),
+          S, csum, s_in_blk)
+      err = _rms_err(Sn, S)
+      out = jax.tree.map(lambda si, c: si + c[-1], s_in_blk, csum)
+      aux_last = jax.tree.map(lambda l: l[-1], aux)
+      return Sn, out, aux_last, err, sweeps + 1
+
+    init = (S0, s_in_blk, aux_in, jnp.asarray(jnp.inf), jnp.asarray(0))
+    _, out, aux_last, _, sweeps = jax.lax.while_loop(cond, body, init)
+    return out, aux_last, sweeps * w_blk * evals_per_step
+
+  # aux structure probe: one abstract evaluation (no FLOPs at runtime —
+  # only used to build a zero-initialized aux carry of the right shape).
+  aux_shape = jax.eval_shape(
+      lambda s: step_fn(s, jnp.asarray(0))[1], s_in)
+  aux = jax.tree.map(lambda sh: jnp.zeros(sh.shape, sh.dtype), aux_shape)
+
+  s = s_in
+  nfe = jnp.asarray(0)
+  if n_full:
+    def block_body(carry, b):
+      s, aux, nfe = carry
+      out, aux_last, block_nfe = run_block(s, aux, b * W, W)
+      return (out, aux_last, nfe + block_nfe), None
+
+    (s, aux, nfe), _ = jax.lax.scan(block_body, (s, aux, nfe),
+                                    jnp.arange(n_full))
+  if tail:
+    s, aux, tail_nfe = run_block(s, aux, n_full * W, tail)
+    nfe = nfe + tail_nfe
+  return s, aux, nfe
+
+
 def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
                           corrector: str, inverse_scaler, snr: float,
                           n_steps: int = 1, probability_flow: bool = False,
@@ -65,14 +152,10 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
   """Drop-in PC sampler (same flags as get_pc_sampler) with parallel-in-
   time Picard iteration. Returns sampler(model, params, key) ->
   (samples in [0,1], nfe) where nfe is the MEASURED number of network
-  evaluations (a traced scalar: sweeps are data-dependent)."""
+  evaluations."""
   predictor_fn = get_predictor(predictor)
   corrector_fn = get_corrector(corrector)
   N = sde.N
-  W = max(1, min(int(window), N))
-  n_full = N // W
-  tail = N - n_full * W
-  max_sweeps_ = int(max_sweeps) if max_sweeps else W
   evals_per_step = n_steps + 1  # corrector sub-steps + predictor
 
   timesteps = jnp.linspace(sde.T, eps, N)
@@ -96,70 +179,18 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
 
     _, (keys_c, keys_p) = jax.lax.scan(key_chain, key, None, length=N)
 
-    def pc_step(x, i, k_c, k_p):
+    def pc_step(x, i):
       """One full corrector+predictor step at global step index i."""
       t_vec = jnp.full((shape[0],), timesteps[i])
       nt_vec = jnp.full((shape[0],), next_timesteps[i])
-      x, _ = corrector_fn(sde, score_fn, x, t_vec, k_c, snr, n_steps)
+      x, _ = corrector_fn(sde, score_fn, x, t_vec, keys_c[i], snr, n_steps)
       x, x_mean = predictor_fn(
-          rsde, x, t_vec, k_p,
+          rsde, x, t_vec, keys_p[i],
           next_t=nt_vec if isinstance(sde, ReciprocalVESDE) else None)
       return x, x_mean
 
-    vstep = jax.vmap(pc_step, in_axes=(0, 0, 0, 0))
-    reduce_axes = tuple(range(1, len(shape) + 1))  # all but the window axis
-
-    def run_block(x_in, idx0, w_blk):
-      """Picard-iterate steps [idx0, idx0 + w_blk) from entry state x_in.
-      w_blk is static. Returns (block output, last-step x_mean, nfe)."""
-      idxs = idx0 + jnp.arange(w_blk)
-      kc = keys_c[idxs]
-      kp = keys_p[idxs]
-      X0 = jnp.broadcast_to(x_in, (w_blk,) + tuple(shape))
-
-      def cond(carry):
-        _, _, _, err, sweeps = carry
-        # NaN err means not-yet-visited window positions exploded (their
-        # garbage guesses can overflow in f32 before the exact prefix
-        # reaches them) — that is "not converged", NOT "done": the exact
-        # prefix still grows >= 1 position per sweep regardless of the
-        # tail (position j's cumsum only reads increments i < j), so
-        # iterating to max_sweeps_ washes the garbage out. A plain
-        # `err > tol` is False for NaN and would exit with garbage.
-        not_converged = jnp.logical_or(jnp.isnan(err), err > tol)
-        return jnp.logical_and(not_converged, sweeps < max_sweeps_)
-
-      def body(carry):
-        X, _, _, _, sweeps = carry
-        new_states, new_means = vstep(X, idxs, kc, kp)
-        inc = new_states - X
-        csum = jnp.cumsum(inc, axis=0)
-        # X[0] is pinned to the block entry state; positions j >= 1 get
-        # the prefix-summed update (the Picard sweep).
-        Xn = jnp.concatenate([X[:1], x_in[None] + csum[:-1]], axis=0)
-        err = jnp.max(jnp.sqrt(jnp.mean((Xn - X) ** 2, axis=reduce_axes)))
-        out = x_in + csum[-1]
-        return Xn, out, new_means[-1], err, sweeps + 1
-
-      init = (X0, x_in, x_in, jnp.asarray(jnp.inf), jnp.asarray(0))
-      _, out, mean_last, _, sweeps = jax.lax.while_loop(cond, body, init)
-      return out, mean_last, sweeps * w_blk * evals_per_step
-
-    x = x0
-    x_mean = x0
-    nfe = jnp.asarray(0)
-    if n_full:
-      def block_body(carry, b):
-        x, nfe = carry
-        out, mean_last, block_nfe = run_block(x, b * W, W)
-        return (out, nfe + block_nfe), mean_last
-
-      (x, nfe), means = jax.lax.scan(block_body, (x, nfe),
-                                     jnp.arange(n_full))
-      x_mean = means[-1]
-    if tail:
-      x, x_mean, tail_nfe = run_block(x, n_full * W, tail)
-      nfe = nfe + tail_nfe
+    x, x_mean, nfe = _picard_chain(pc_step, x0, N, window, tol,
+                                   max_sweeps, evals_per_step)
 
     # Final denoise to the t=0 mean, identical to get_pc_sampler._finish.
     rsde_d = ReverseSDE(sde, score_fn, probability_flow=True, lambda_=0.0)
@@ -168,5 +199,65 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
                              jnp.zeros_like(vec_eps))
     out = (x_mean if denoise else x) - f
     return inverse_scaler(out), nfe
+
+  return sampler
+
+
+def get_picard_dpm_sampler(config, sde: SDE, shape, inverse_scaler,
+                           steps: int = 50, denoise: bool = True,
+                           eps: float = 1e-3, window: int = 0,
+                           tol: float = 1e-2,
+                           max_sweeps: int = 0) -> Callable:
+  """Parallel-in-time DPM-Solver++(2M) — the same schedule/update as
+  get_dpm_solver_sampler (sampling.py), Picard-iterated over the
+  augmented state (x, previous data-prediction) so the two-step
+  recurrence is a one-step chain the engine can telescope. Deterministic
+  (no per-step noise): only the prior key matters. With the default
+  window=0 the whole trajectory is one block (steps is small)."""
+  N = int(steps)
+
+  def sampler(model, params, key) -> Tuple[Array, Array]:
+    score_fn = get_score_fn(config, sde, model, params, train=False,
+                            continuous=True)
+    key, k_prior = jax.random.split(key)
+    x = sde.prior_sampling(k_prior, shape)
+
+    def lam_of(t):
+      mean, s = sde.marginal_prob(jnp.ones(t.shape + (1, 1, 1)), t)
+      return jnp.log(mean.reshape(t.shape)) - jnp.log(s)
+
+    # Identical uniform-lambda schedule to get_dpm_solver_sampler.
+    t_fine = jnp.linspace(sde.T, eps, 4096)
+    lam_fine = lam_of(t_fine)
+    lam_grid = jnp.linspace(lam_fine[0], lam_fine[-1], N + 1)
+    ts = jnp.interp(lam_grid, lam_fine, t_fine)
+    ts = ts.at[0].set(sde.T).at[-1].set(eps)
+
+    mean, s_all = sde.marginal_prob(jnp.ones((N + 1, 1, 1, 1)), ts)
+    c_all = mean.reshape(N + 1)
+    lam = jnp.log(c_all) - jnp.log(s_all)
+
+    def data_pred(x, i):
+      t_vec = jnp.full((shape[0],), ts[i])
+      score = score_fn(x, t_vec)
+      return (x + (s_all[i] ** 2) * score) / c_all[i]
+
+    def dpm_step(s, i):
+      x, prev_d = s
+      d = data_pred(x, i)
+      h = lam[i + 1] - lam[i]
+      h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]  # 0 at the first step
+      k = jnp.where(h_prev > 0, h / (2.0 * h_prev), 0.0)
+      D = (1.0 + k) * d - k * prev_d
+      x = (s_all[i + 1] / s_all[i]) * x - c_all[i + 1] * jnp.expm1(-h) * D
+      return (x, d), x
+
+    (x, _), _, nfe = _picard_chain(
+        dpm_step, (x, jnp.zeros_like(x)), N, window or N, tol,
+        max_sweeps, evals_per_step=1)
+    if denoise:
+      x = data_pred(x, N)
+      nfe = nfe + 1
+    return inverse_scaler(x), nfe
 
   return sampler

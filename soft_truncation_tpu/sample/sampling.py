@@ -202,6 +202,16 @@ def get_sampling_fn(config, sde: SDE, shape, inverse_scaler,
         config, sde, shape, inverse_scaler,
         steps=config.sampling.get("dpm_steps", 50),
         denoise=config.sampling.noise_removal, eps=eps)
+  if name == "picard_dpm":
+    # Parallel-in-time DPM-Solver++(2M) (beyond parity, see parallel.py).
+    from .parallel import get_picard_dpm_sampler
+    return get_picard_dpm_sampler(
+        config, sde, shape, inverse_scaler,
+        steps=config.sampling.get("dpm_steps", 50),
+        denoise=config.sampling.noise_removal, eps=eps,
+        window=config.sampling.get("picard_window", 0),
+        tol=config.sampling.get("picard_tol", 1e-2),
+        max_sweeps=config.sampling.get("picard_max_sweeps", 0))
   if name in ("pc", "picard"):
     kwargs = dict(
         predictor=config.sampling.predictor.lower(),

@@ -172,3 +172,39 @@ def test_shapes_finite_and_in_range():
   cfg.sampling.method = "picard"
   got, nfe = _run(cfg)
   assert got.shape == SHAPE and np.isfinite(got).all() and nfe > 0
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("sde", ["vpsde", "vesde"])
+def test_picard_dpm_exact_fixed_point(sde):
+  """tol=0 parallel-in-time DPM-Solver++(2M) == the sequential solver,
+  same key (the (x, prev data-prediction) augmented state turns the
+  multistep recurrence into a telescoping one-step chain)."""
+  seq = _config(sde=sde, num_scales=1000)  # DPM ignores num_scales' grid
+  seq.sampling.method = "dpm_solver"
+  seq.sampling.dpm_steps = 8
+  want, seq_nfe = _run(seq)
+  assert seq_nfe == 9  # 8 steps + denoise
+
+  cfg = _config(sde=sde, num_scales=1000, picard_window=4, picard_tol=0.0)
+  cfg.sampling.method = "picard_dpm"
+  cfg.sampling.dpm_steps = 8
+  got, nfe = _run(cfg)
+  np.testing.assert_allclose(got, want, **EXACT)
+  assert 0 < nfe <= 2 * 4 * 4 + 1  # 2 blocks x <=W sweeps x W evals + denoise
+
+
+@pytest.mark.fast
+def test_picard_dpm_single_block_and_loose_tol():
+  seq = _config(num_scales=1000)
+  seq.sampling.method = "dpm_solver"
+  seq.sampling.dpm_steps = 8
+  want, _ = _run(seq)
+  scale = float(np.sqrt(np.mean(want ** 2))) or 1.0
+
+  cfg = _config(num_scales=1000, picard_window=0, picard_tol=1e-3)
+  cfg.sampling.method = "picard_dpm"
+  cfg.sampling.dpm_steps = 8
+  got, nfe = _run(cfg)
+  rel = float(np.sqrt(np.mean((got - want) ** 2))) / scale
+  assert rel < 1e-2 and 0 < nfe <= 8 * 8 + 1

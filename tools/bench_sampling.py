@@ -175,6 +175,21 @@ def run_one_dpm(batch: int, steps: int = 50) -> dict:
                  compile_s, dt, nfe, batch)
 
 
+def _maybe_trained_params(config, model, state):
+  """EMA params from --workdir=<dir> (the honest operating point for the
+  Picard A/B: Picard sweep counts depend on the score's conditioning —
+  trained scores are contracting, random-init ones are not), else the
+  random-init params."""
+  wd = next((a.split("=", 1)[1] for a in sys.argv
+             if a.startswith("--workdir=")), None)
+  if not wd:
+    return state.params, False, 0
+  from soft_truncation_tpu.train import CheckpointManager
+  restored = CheckpointManager(wd).restore_meta(state)
+  assert restored is not None, f"no checkpoint under {wd}"
+  return jax.device_put(restored.ema_params), True, int(restored.step)
+
+
 def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
   """Parallel-in-time Picard PC (sample/parallel.py, beyond parity): a
   LATENCY play for small batches — batches the time axis (window x batch
@@ -186,9 +201,10 @@ def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
   config = _load_config(batch)
   config.sampling.chunk = 100
   sde, model, state, sampler = _setup(config, batch)
-  seq_compile_s, seq_dt, seq_nfe = _time_sampler(sampler, model,
-                                                 state.params)
-  seq_samples, _ = sampler(model, state.params, jax.random.PRNGKey(2))
+  params, trained, trained_steps = _maybe_trained_params(config, model,
+                                                         state)
+  seq_compile_s, seq_dt, seq_nfe = _time_sampler(sampler, model, params)
+  seq_samples, _ = sampler(model, params, jax.random.PRNGKey(2))
 
   window = window or max(8, 128 // max(batch, 1))  # W*B ~ 128 images/eval
   pcfg = _load_config(batch)
@@ -196,16 +212,52 @@ def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
   pcfg.sampling.picard_window = window
   pcfg.sampling.picard_tol = tol
   _, _, _, psampler = _setup(pcfg, batch, build_state=False)
-  compile_s, dt, nfe = _time_sampler(psampler, model, state.params)
-  psamples, _ = psampler(model, state.params, jax.random.PRNGKey(2))
+  compile_s, dt, nfe = _time_sampler(psampler, model, params)
+  psamples, _ = psampler(model, params, jax.random.PRNGKey(2))
 
   import numpy as np
   rms = float(np.sqrt(np.mean(
       (np.asarray(psamples) - np.asarray(seq_samples)) ** 2)))
   return _record({
       "sampler": "picard", "N": int(sde.N), "window": window, "tol": tol,
+      "trained_score": trained, "trained_steps": trained_steps,
       "seq_batch_s": round(seq_dt, 2), "seq_nfe": seq_nfe,
       "latency_speedup_vs_pc": round(seq_dt / dt, 2),
+      "rms_vs_sequential": round(rms, 5),
+  }, compile_s, dt, nfe, batch)
+
+
+def run_one_picard_dpm(batch: int, steps: int = 50,
+                       tol: float = 1e-2) -> dict:
+  """Parallel-in-time DPM-Solver++(2M) latency A/B vs the sequential
+  solver (same process, same trained-or-random params; deterministic
+  chain, so rms_vs_sequential at tol=0 is pure fp reordering)."""
+  config = _load_config(batch)
+  config.sampling.method = "dpm_solver"
+  config.sampling.dpm_steps = steps
+  sde, model, state, sampler = _setup(config, batch)
+  params, trained, trained_steps = _maybe_trained_params(config, model,
+                                                         state)
+  _, seq_dt, seq_nfe = _time_sampler(sampler, model, params)
+  seq_samples, _ = sampler(model, params, jax.random.PRNGKey(2))
+
+  pcfg = _load_config(batch)
+  pcfg.sampling.method = "picard_dpm"
+  pcfg.sampling.dpm_steps = steps
+  pcfg.sampling.picard_window = 0  # whole trajectory: one block
+  pcfg.sampling.picard_tol = tol
+  _, _, _, psampler = _setup(pcfg, batch, build_state=False)
+  compile_s, dt, nfe = _time_sampler(psampler, model, params)
+  psamples, _ = psampler(model, params, jax.random.PRNGKey(2))
+
+  import numpy as np
+  rms = float(np.sqrt(np.mean(
+      (np.asarray(psamples) - np.asarray(seq_samples)) ** 2)))
+  return _record({
+      "sampler": "picard_dpm", "steps": steps, "tol": tol,
+      "trained_score": trained, "trained_steps": trained_steps,
+      "seq_batch_s": round(seq_dt, 2), "seq_nfe": seq_nfe,
+      "latency_speedup_vs_dpm": round(seq_dt / dt, 2),
       "rms_vs_sequential": round(rms, 5),
   }, compile_s, dt, nfe, batch)
 
@@ -215,11 +267,13 @@ def main():
   ode = "--ode" in args
   dpm = "--dpm" in args
   picard = "--picard" in args
+  picard_dpm = "--picard-dpm" in args
   args = [a for a in args if not a.startswith("--")]
   batches = [int(a) for a in args] if args else (
-      [1, 4, 16] if picard else
+      [1, 4, 16] if (picard or picard_dpm) else
       [64, 128, 256] if (ode or dpm) else [256, 512, 1024])
-  fn = (run_one_picard if picard else
+  fn = (run_one_picard_dpm if picard_dpm else
+        run_one_picard if picard else
         run_one_dpm if dpm else (run_one_ode if ode else run_one))
   recs = [fn(b) for b in batches]
   out = os.path.join(os.path.dirname(os.path.dirname(

@@ -90,9 +90,11 @@ def _fields(config):
               num_scales=config.model.num_scales)
 
 
-@pytest.mark.fast
+# fast subset carries one PC case and one DPM case (full coverage stays
+# in the regular suite — each case compiles two samplers, ~40s apiece)
 @pytest.mark.parametrize("sde,predictor,corrector", [
-    ("vesde", "reverse_diffusion", "langevin"),
+    pytest.param("vesde", "reverse_diffusion", "langevin",
+                 marks=pytest.mark.fast),
     ("vpsde", "euler_maruyama", "none"),
     ("vpsde", "ancestral_sampling", "none"),
     ("reciprocal_vesde", "reverse_diffusion", "none"),
@@ -106,7 +108,6 @@ def test_exact_fixed_point_matches_sequential(sde, predictor, corrector):
   np.testing.assert_allclose(got, want, **EXACT)
 
 
-@pytest.mark.fast
 def test_exact_with_window_not_dividing_n():
   """num_scales=10, window=4 -> two full blocks + a tail block of 2."""
   seq = _config(num_scales=10)
@@ -115,7 +116,6 @@ def test_exact_with_window_not_dividing_n():
   np.testing.assert_allclose(got, want, **EXACT)
 
 
-@pytest.mark.fast
 def test_exact_window_whole_trajectory():
   seq = _config(num_scales=6)
   want, got, _, _ = _seq_vs_picard(
@@ -123,7 +123,6 @@ def test_exact_window_whole_trajectory():
   np.testing.assert_allclose(got, want, **EXACT)
 
 
-@pytest.mark.fast
 def test_probability_flow_path():
   seq = _config(predictor="reverse_diffusion", corrector="none",
                 probability_flow=True)
@@ -132,7 +131,6 @@ def test_probability_flow_path():
   np.testing.assert_allclose(got, want, **EXACT)
 
 
-@pytest.mark.fast
 def test_nfe_accounting_and_tol_monotonicity():
   """The measured NFE is bounded by the W-sweep exactness guarantee and
   never increases when the tolerance is loosened; loose-tol samples stay
@@ -166,7 +164,6 @@ def test_nfe_accounting_and_tol_monotonicity():
   assert devs[1e-3] < 1e-2  # loose tol degrades gracefully
 
 
-@pytest.mark.fast
 def test_shapes_finite_and_in_range():
   cfg = _config(picard_window=4, picard_tol=1e-3)
   cfg.sampling.method = "picard"
@@ -174,8 +171,8 @@ def test_shapes_finite_and_in_range():
   assert got.shape == SHAPE and np.isfinite(got).all() and nfe > 0
 
 
-@pytest.mark.fast
-@pytest.mark.parametrize("sde", ["vpsde", "vesde"])
+@pytest.mark.parametrize("sde", [
+    pytest.param("vpsde", marks=pytest.mark.fast), "vesde"])
 def test_picard_dpm_exact_fixed_point(sde):
   """tol=0 parallel-in-time DPM-Solver++(2M) == the sequential solver,
   same key (the (x, prev data-prediction) augmented state turns the
@@ -194,7 +191,6 @@ def test_picard_dpm_exact_fixed_point(sde):
   assert 0 < nfe <= 2 * 4 * 4 + 1  # 2 blocks x <=W sweeps x W evals + denoise
 
 
-@pytest.mark.fast
 def test_picard_dpm_single_block_and_loose_tol():
   seq = _config(num_scales=1000)
   seq.sampling.method = "dpm_solver"

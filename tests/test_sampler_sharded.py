@@ -70,3 +70,42 @@ def test_pc_sampler_batch_sharded_over_mesh():
   assert samples.sharding.is_equivalent_to(bs, ndim=samples.ndim)
   shard_shapes = {s.data.shape for s in samples.addressable_shards}
   assert shard_shapes == {(shape[0] // mesh.devices.size,) + shape[1:]}
+
+
+def test_picard_sampler_batch_sharded_over_mesh():
+  """The parallel-in-time Picard sampler (sample/parallel.py) must also
+  run under GSPMD with the batch axis sharded — the window axis stays
+  replicated (it is a vmap inside the program), each device holds its
+  batch slice of every window position."""
+  config = _tiny_config()
+  config.sampling.method = "picard"
+  config.sampling.picard_window = 2
+  config.sampling.picard_tol = 1e-3
+  sde = get_sde(config)
+  model = create_model(config)
+  shape = (16, 8, 8, 3)
+
+  x = jnp.zeros(shape)
+  t = jnp.full((shape[0],), 1.0)
+  params = model.init({"params": jax.random.PRNGKey(0)}, x, t,
+                      train=False)["params"]
+
+  mesh = make_mesh()
+  rs = replicated_sharding(mesh)
+  bs = batch_sharding(mesh)
+
+  sampler = get_sampling_fn(config, sde, shape,
+                            get_data_inverse_scaler(config),
+                            eps=config.sampling.truncation_time)
+  jitted = jax.jit(sampler, static_argnums=0,
+                   in_shardings=(rs, None), out_shardings=(bs, None))
+
+  samples, nfe = jitted(model, jax.device_put(params, rs),
+                        jax.random.PRNGKey(1))
+
+  assert samples.shape == shape
+  assert 0 < int(nfe) <= sde.N * config.sampling.picard_window * 2
+  assert np.all(np.isfinite(np.asarray(samples)))
+  assert samples.sharding.is_equivalent_to(bs, ndim=samples.ndim)
+  shard_shapes = {s.data.shape for s in samples.addressable_shards}
+  assert shard_shapes == {(shape[0] // mesh.devices.size,) + shape[1:]}

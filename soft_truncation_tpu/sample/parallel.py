@@ -53,7 +53,8 @@ import jax.numpy as jnp
 
 from ..models.score import get_score_fn
 from ..sde.core import SDE, ReciprocalVESDE, ReverseSDE
-from .sampling import get_corrector, get_predictor
+from .sampling import (_denoise_step, _dpm_data_pred_fn, _dpm_schedule,
+                       _dpm_step_fn, get_corrector, get_predictor)
 
 Array = jax.Array
 
@@ -152,27 +153,39 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
   """Drop-in PC sampler (same flags as get_pc_sampler) with parallel-in-
   time Picard iteration. Returns sampler(model, params, key) ->
   (samples in [0,1], nfe) where nfe is the MEASURED number of network
-  evaluations."""
+  evaluations.
+
+  ``config.sampling.chunk > 0`` bounds device dispatches like the
+  sequential sampler's chunked mode (get_pc_sampler): each dispatch
+  Picard-iterates ~chunk chain steps (rounded up to whole windows), so
+  per-dispatch work is <= ceil(chunk/W) blocks x max_sweeps sweeps —
+  without it, a 1000-step chain at full-W sweeps is one unbounded
+  dispatch, the condition observed to crash the tunneled runtime's
+  watchdog. tol=0 exactness is partition-independent (block boundaries
+  only change the iteration path, not the fixed point); the chunked
+  sampler jits its segments internally — do NOT wrap it in an outer jit
+  (tagged ``self_jitting=True``)."""
   predictor_fn = get_predictor(predictor)
   corrector_fn = get_corrector(corrector)
   N = sde.N
   evals_per_step = n_steps + 1  # corrector sub-steps + predictor
+  chunk = int(config.sampling.get("chunk", 0) or 0)
 
   timesteps = jnp.linspace(sde.T, eps, N)
   next_timesteps = jnp.concatenate([timesteps[1:], jnp.zeros((1,))])
 
-  def sampler(model, params, key) -> Tuple[Array, Array]:
+  def _segment(model, params, x, key, start, steps):
+    """Picard-iterate chain steps [start, start+steps). ``steps`` is
+    static; ``start`` is traced (one compile for equal-size segments).
+    ``key`` is the post-prior key: the full N-step key chain is
+    recomputed (cheap) so noises are identical however the chain is
+    partitioned — the sequential sampler's exact chain (sampling.py
+    _scan body: key, k_c, k_p = split(key, 3) per step)."""
     score_fn = get_score_fn(config, sde, model, params, train=False,
                             continuous=continuous)
     rsde = ReverseSDE(sde, score_fn, probability_flow=probability_flow,
                       lambda_=0.0 if probability_flow else 1.0)
 
-    key, k_prior = jax.random.split(key)
-    x0 = sde.prior_sampling(k_prior, shape)
-
-    # The sequential sampler's exact key chain (sampling.py _scan body:
-    # key, k_c, k_p = split(key, 3) per step) — same keys => the Picard
-    # fixed point IS the sequential trajectory.
     def key_chain(k, _):
       k, k_c, k_p = jax.random.split(k, 3)
       return k, (k_c, k_p)
@@ -189,16 +202,45 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
           next_t=nt_vec if isinstance(sde, ReciprocalVESDE) else None)
       return x, x_mean
 
-    x, x_mean, nfe = _picard_chain(pc_step, x0, N, window, tol,
-                                   max_sweeps, evals_per_step)
+    return _picard_chain(lambda s, i: pc_step(s, i + start), x, steps,
+                         window, tol, max_sweeps, evals_per_step)
 
-    # Final denoise to the t=0 mean, identical to get_pc_sampler._finish.
-    rsde_d = ReverseSDE(sde, score_fn, probability_flow=True, lambda_=0.0)
-    vec_eps = jnp.full((shape[0],), sde.eps)
-    f, _ = rsde_d.discretize(x_mean if denoise else x, vec_eps,
-                             jnp.zeros_like(vec_eps))
-    out = (x_mean if denoise else x) - f
-    return inverse_scaler(out), nfe
+  def _finish(model, params, x, x_mean):
+    """Final denoise to the t=0 mean, shared with get_pc_sampler."""
+    score_fn = get_score_fn(config, sde, model, params, train=False,
+                            continuous=continuous)
+    out = _denoise_step(config, sde, score_fn, x_mean if denoise else x,
+                        sde.eps, probability_flow=True)
+    return inverse_scaler(out)
+
+  if 0 < chunk < N:
+    # round the dispatch length up to whole windows so blocks are never
+    # split below the configured window size
+    W = max(1, min(int(window), N))
+    seg = max(1, (chunk + W - 1) // W) * W
+    seg_jit = jax.jit(_segment, static_argnums=(0, 5))
+    finish_jit = jax.jit(_finish, static_argnums=0)
+
+    def sampler(model, params, key) -> Tuple[Array, Array]:
+      key, k_prior = jax.random.split(key)
+      x = sde.prior_sampling(k_prior, shape)
+      x_mean = x
+      nfe = jnp.asarray(0)
+      for s0 in range(0, N, seg):
+        steps = min(seg, N - s0)
+        x, x_mean, seg_nfe = seg_jit(model, params, x, key,
+                                     jnp.asarray(s0), steps)
+        nfe = nfe + seg_nfe
+      return finish_jit(model, params, x, x_mean), nfe
+
+    sampler.self_jitting = True
+    return sampler
+
+  def sampler(model, params, key) -> Tuple[Array, Array]:
+    key, k_prior = jax.random.split(key)
+    x0 = sde.prior_sampling(k_prior, shape)
+    x, x_mean, nfe = _segment(model, params, x0, key, jnp.asarray(0), N)
+    return _finish(model, params, x, x_mean), nfe
 
   return sampler
 
@@ -222,35 +264,12 @@ def get_picard_dpm_sampler(config, sde: SDE, shape, inverse_scaler,
     key, k_prior = jax.random.split(key)
     x = sde.prior_sampling(k_prior, shape)
 
-    def lam_of(t):
-      mean, s = sde.marginal_prob(jnp.ones(t.shape + (1, 1, 1)), t)
-      return jnp.log(mean.reshape(t.shape)) - jnp.log(s)
-
-    # Identical uniform-lambda schedule to get_dpm_solver_sampler.
-    t_fine = jnp.linspace(sde.T, eps, 4096)
-    lam_fine = lam_of(t_fine)
-    lam_grid = jnp.linspace(lam_fine[0], lam_fine[-1], N + 1)
-    ts = jnp.interp(lam_grid, lam_fine, t_fine)
-    ts = ts.at[0].set(sde.T).at[-1].set(eps)
-
-    mean, s_all = sde.marginal_prob(jnp.ones((N + 1, 1, 1, 1)), ts)
-    c_all = mean.reshape(N + 1)
-    lam = jnp.log(c_all) - jnp.log(s_all)
-
-    def data_pred(x, i):
-      t_vec = jnp.full((shape[0],), ts[i])
-      score = score_fn(x, t_vec)
-      return (x + (s_all[i] ** 2) * score) / c_all[i]
-
-    def dpm_step(s, i):
-      x, prev_d = s
-      d = data_pred(x, i)
-      h = lam[i + 1] - lam[i]
-      h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]  # 0 at the first step
-      k = jnp.where(h_prev > 0, h / (2.0 * h_prev), 0.0)
-      D = (1.0 + k) * d - k * prev_d
-      x = (s_all[i + 1] / s_all[i]) * x - c_all[i + 1] * jnp.expm1(-h) * D
-      return (x, d), x
+    # The schedule and step update are the shared sequential-solver
+    # helpers (sampling._dpm_schedule/_dpm_step_fn), so a fix there
+    # cannot silently break the tol=0 == sequential guarantee here.
+    ts, c_all, s_all, lam = _dpm_schedule(sde, N, eps)
+    data_pred = _dpm_data_pred_fn(score_fn, shape, ts, c_all, s_all)
+    dpm_step = _dpm_step_fn(data_pred, c_all, s_all, lam)
 
     (x, _), _, nfe = _picard_chain(
         dpm_step, (x, jnp.zeros_like(x)), N, window or N, tol,

@@ -323,6 +323,58 @@ def get_pc_sampler(config, sde: SDE, shape, predictor: str, corrector: str,
   return sampler
 
 
+def _dpm_schedule(sde: SDE, N: int, eps: float):
+  """Uniform-log-SNR time grid + affine-marginal coefficients, shared by
+  the sequential (below) and parallel-in-time (parallel.py) DPM solvers.
+
+  Uniform-lambda is the DPM-Solver prescription: invert the monotone
+  lambda(t) on a fine grid. Uniform-t is a poor lambda grid for VP
+  (most of the log-SNR range is crossed near t=eps)."""
+  def lam_of(t):
+    mean, s = sde.marginal_prob(jnp.ones(t.shape + (1, 1, 1)), t)
+    return jnp.log(mean.reshape(t.shape)) - jnp.log(s)
+
+  t_fine = jnp.linspace(sde.T, eps, 4096)  # lam increasing along axis
+  lam_fine = lam_of(t_fine)
+  lam_grid = jnp.linspace(lam_fine[0], lam_fine[-1], N + 1)
+  ts = jnp.interp(lam_grid, lam_fine, t_fine)
+  ts = ts.at[0].set(sde.T).at[-1].set(eps)
+
+  mean, s_all = sde.marginal_prob(jnp.ones((N + 1, 1, 1, 1)), ts)
+  c_all = mean.reshape(N + 1)  # affine-marginal mean coefficient c(t)
+  lam = jnp.log(c_all) - jnp.log(s_all)  # log-SNR; increases as t -> eps
+  return ts, c_all, s_all, lam
+
+
+def _dpm_data_pred_fn(score_fn, shape, ts, c_all, s_all):
+  """Data prediction x0 = (x + s^2 * score) / c at grid index i."""
+  def data_pred(x, i):
+    t_vec = jnp.full((shape[0],), ts[i])
+    return (x + (s_all[i] ** 2) * score_fn(x, t_vec)) / c_all[i]
+  return data_pred
+
+
+def _dpm_step_fn(data_pred, c_all, s_all, lam):
+  """One DPM-Solver++(2M) update on the augmented state (x, prev data
+  prediction); returns ((x', d), x'). The update in log-SNR time, with
+  h_i = lambda_{i+1} - lambda_i:
+
+      x_{i+1} = (s_{i+1}/s_i) x_i - c_{i+1} (e^{-h_i} - 1) D_i
+      D_i = (1 + k) x0_i - k x0_{i-1},   k = h_i / (2 h_{i-1})
+
+  (first step falls back to the order-1 update, i.e. DDIM)."""
+  def dpm_step(s, i):
+    x, prev_d = s
+    d = data_pred(x, i)
+    h = lam[i + 1] - lam[i]
+    h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]  # 0 at the first step
+    k = jnp.where(h_prev > 0, h / (2.0 * h_prev), 0.0)
+    D = (1.0 + k) * d - k * prev_d
+    x = (s_all[i + 1] / s_all[i]) * x - c_all[i + 1] * jnp.expm1(-h) * D
+    return (x, d), x
+  return dpm_step
+
+
 def get_dpm_solver_sampler(config, sde: SDE, shape, inverse_scaler,
                            steps: int = 50, denoise: bool = True,
                            eps: float = 1e-3) -> Callable:
@@ -333,15 +385,9 @@ def get_dpm_solver_sampler(config, sde: SDE, shape, inverse_scaler,
   black-box-ODE sampling): one score evaluation per step, and 20-50
   steps typically match the sample quality of the 1000-2000-NFE PC
   sampler on trained models. Works for any SDE with an affine marginal
-  x_t ~ N(c(t) x_0, s(t)^2 I) (all four SDE families here): the data
-  prediction is x0 = (x + s^2 * score) / c, and the update in
-  log-SNR time lambda = log(c/s), with h_i = lambda_{i+1} - lambda_i, is
-
-      x_{i+1} = (s_{i+1}/s_i) x_i - c_{i+1} (e^{-h_i} - 1) D_i
-      D_i = (1 + k) x0_i - k x0_{i-1},   k = h_i / (2 h_{i-1})
-
-  (first step falls back to the order-1 update, i.e. DDIM). With
-  ``denoise`` the final state is replaced by its data prediction at eps.
+  x_t ~ N(c(t) x_0, s(t)^2 I) (all four SDE families here) — see
+  _dpm_schedule/_dpm_step_fn for the math. With ``denoise`` the final
+  state is replaced by its data prediction at eps.
   """
   N = int(steps)
 
@@ -351,39 +397,12 @@ def get_dpm_solver_sampler(config, sde: SDE, shape, inverse_scaler,
     key, k_prior = jax.random.split(key)
     x = sde.prior_sampling(k_prior, shape)
 
-    def lam_of(t):
-      mean, s = sde.marginal_prob(jnp.ones(t.shape + (1, 1, 1)), t)
-      return jnp.log(mean.reshape(t.shape)) - jnp.log(s)
+    ts, c_all, s_all, lam = _dpm_schedule(sde, N, eps)
+    data_pred = _dpm_data_pred_fn(score_fn, shape, ts, c_all, s_all)
+    dpm_step = _dpm_step_fn(data_pred, c_all, s_all, lam)
 
-    # Uniform-lambda step schedule (the DPM-Solver prescription): invert
-    # the monotone lambda(t) on a fine grid. Uniform-t is a poor lambda
-    # grid for VP (most of the log-SNR range is crossed near t=eps).
-    t_fine = jnp.linspace(sde.T, eps, 4096)  # lam increasing along axis
-    lam_fine = lam_of(t_fine)
-    lam_grid = jnp.linspace(lam_fine[0], lam_fine[-1], N + 1)
-    ts = jnp.interp(lam_grid, lam_fine, t_fine)
-    ts = ts.at[0].set(sde.T).at[-1].set(eps)
-
-    mean, s_all = sde.marginal_prob(jnp.ones((N + 1, 1, 1, 1)), ts)
-    c_all = mean.reshape(N + 1)  # affine-marginal mean coefficient c(t)
-    lam = jnp.log(c_all) - jnp.log(s_all)  # log-SNR; increases as t -> eps
-
-    def data_pred(x, i):
-      t_vec = jnp.full((shape[0],), ts[i])
-      score = score_fn(x, t_vec)
-      return (x + (s_all[i] ** 2) * score) / c_all[i]
-
-    def body(carry, i):
-      x, prev_d = carry
-      d = data_pred(x, i)
-      h = lam[i + 1] - lam[i]
-      h_prev = lam[i] - lam[jnp.maximum(i - 1, 0)]  # 0 at the first step
-      k = jnp.where(h_prev > 0, h / (2.0 * h_prev), 0.0)
-      D = (1.0 + k) * d - k * prev_d
-      x = (s_all[i + 1] / s_all[i]) * x - c_all[i + 1] * jnp.expm1(-h) * D
-      return (x, d), None
-
-    (x, _), _ = jax.lax.scan(body, (x, jnp.zeros_like(x)), jnp.arange(N))
+    (x, _), _ = jax.lax.scan(lambda c, i: (dpm_step(c, i)[0], None),
+                             (x, jnp.zeros_like(x)), jnp.arange(N))
     nfe = N
     if denoise:
       x = data_pred(x, N)

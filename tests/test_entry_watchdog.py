@@ -26,18 +26,20 @@ def _load_entry():
 
 
 def test_noop_on_cpu_platform():
-  """conftest pins jax_platforms=cpu — the watchdog must not arm."""
+  """conftest pins jax_platforms=cpu — the watchdog must not arm.
+  Asserted by sentinel identity: calling disarm() immediately would
+  also silence a mis-armed watchdog before it fires."""
   ge = _load_entry()
   disarm = ge._arm_axon_init_watchdog(default_s=0.01)
+  assert disarm is ge._NOOP_DISARM
   disarm()  # callable either way
-  time.sleep(0.05)  # a mis-armed watchdog would have os._exit(3) by now
 
 
 def test_env_zero_disables(monkeypatch):
   ge = _load_entry()
   monkeypatch.setenv("ST_ENTRY_WATCHDOG_S", "0")
   disarm = ge._arm_axon_init_watchdog()
-  disarm()
+  assert disarm is ge._NOOP_DISARM
 
 
 def test_wedge_exits_3_with_diagnostic():

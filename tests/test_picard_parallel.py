@@ -116,6 +116,26 @@ def test_exact_with_window_not_dividing_n():
   np.testing.assert_allclose(got, want, **EXACT)
 
 
+def test_exact_chunked_dispatches():
+  """sampling.chunk > 0 splits the Picard chain into bounded host
+  dispatches (self-jitting segments) — tol=0 exactness is partition-
+  independent, so the chunked result equals the sequential sampler."""
+  seq = _config(num_scales=10)
+  want, _ = _run(seq)
+  cfg = _config(num_scales=10, picard_window=4, picard_tol=0.0, chunk=3)
+  cfg.sampling.method = "picard"
+  sde = get_sde(cfg)
+  model = create_model(cfg)
+  params = _params(cfg, model)
+  sampler = get_sampling_fn(cfg, sde, SHAPE,
+                            get_data_inverse_scaler(cfg),
+                            eps=cfg.sampling.truncation_time)
+  assert getattr(sampler, "self_jitting", False)  # do not outer-jit
+  got, nfe = sampler(model, params, jax.random.PRNGKey(7))
+  np.testing.assert_allclose(np.asarray(got), want, **EXACT)
+  assert 0 < int(nfe) <= 10 * 4 * 2  # <= N x W sweeps x evals_per_step
+
+
 def test_exact_window_whole_trajectory():
   seq = _config(num_scales=6)
   want, got, _, _ = _seq_vs_picard(

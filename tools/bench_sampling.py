@@ -1,11 +1,16 @@
-"""Sampling throughput benchmark: PC / ODE / DPM-Solver samplers
-(UNCSN++ config) on the real TPU.
+"""Sampling throughput benchmark: PC / ODE / DPM-Solver / parallel-in-
+time Picard samplers (UNCSN++ config) on the real TPU.
 
 Projects FID-50k sampling wall-clock (BASELINE.md metric). Run standalone:
-  python tools/bench_sampling.py [--ode|--dpm] [--no-compile-cache] [batch ...]
-Default sweep: 256 512 1024 (PC) / 64 128 256 (ODE, DPM).
-Appends one JSON record per batch size to benchmarks/sampling.jsonl; each
-record carries "compile_cache" so compile_s can be read as cold vs warm.
+  python tools/bench_sampling.py [--ode|--dpm|--picard|--picard-dpm]
+      [--workdir=<dir>] [--no-compile-cache] [batch ...]
+Default sweep: 256 512 1024 (PC) / 64 128 256 (ODE, DPM) / 1 4 16
+(picard paths — a small-batch LATENCY A/B vs the sequential sampler in
+the same process). --workdir loads a trained EMA checkpoint (e.g.
+workdirs/uncsn_syn): Picard sweep counts at random init are
+unrepresentative. Appends one JSON record per batch size to
+benchmarks/sampling.jsonl; each record carries "compile_cache" so
+compile_s can be read as cold vs warm.
 """
 
 import json
@@ -71,9 +76,11 @@ def _setup(config, batch: int, build_state: bool = True):
   return sde, model, state, sampler
 
 
-def _time_sampler(sampler, model, params):
-  """(compile_s, steady_batch_s, nfe) with value-fetch fencing (axon
-  tunnel: block_until_ready returns early)."""
+def _time_sampler(sampler, model, params, return_samples=False):
+  """(compile_s, steady_batch_s, nfe[, samples]) with value-fetch fencing
+  (axon tunnel: block_until_ready returns early). The steady-state call
+  uses PRNGKey(2); return_samples hands its output back so callers
+  comparing samplers do not pay an extra full sampling pass."""
   t0 = time.perf_counter()
   samples, nfe = sampler(model, params, jax.random.PRNGKey(1))
   float(samples.mean())
@@ -82,7 +89,10 @@ def _time_sampler(sampler, model, params):
   t0 = time.perf_counter()
   samples, nfe = sampler(model, params, jax.random.PRNGKey(2))
   float(samples.mean())
-  return compile_s, time.perf_counter() - t0, int(nfe)
+  dt = time.perf_counter() - t0
+  if return_samples:
+    return compile_s, dt, int(nfe), samples
+  return compile_s, dt, int(nfe)
 
 
 def _record(base: dict, compile_s: float, dt: float, nfe: int,
@@ -179,14 +189,25 @@ def _maybe_trained_params(config, model, state):
   """EMA params from --workdir=<dir> (the honest operating point for the
   Picard A/B: Picard sweep counts depend on the score's conditioning —
   trained scores are contracting, random-init ones are not), else the
-  random-init params."""
+  random-init params. Validates the path BEFORE constructing a
+  CheckpointManager (whose __init__ mkdirs under the workdir — a typo'd
+  path must not leave junk directories), and falls back from the rolling
+  meta checkpoint to the latest numbered snapshot."""
   wd = next((a.split("=", 1)[1] for a in sys.argv
              if a.startswith("--workdir=")), None)
   if not wd:
     return state.params, False, 0
+  if not os.path.isdir(wd):
+    raise SystemExit(f"--workdir={wd}: no such directory")
   from soft_truncation_tpu.train import CheckpointManager
-  restored = CheckpointManager(wd).restore_meta(state)
-  assert restored is not None, f"no checkpoint under {wd}"
+  ckpt = CheckpointManager(wd)
+  restored = ckpt.restore_meta(state)
+  if restored is None:
+    step = ckpt.latest_snapshot_step()
+    if step is not None:
+      restored = ckpt.restore_snapshot(state, step)
+  if restored is None:
+    raise SystemExit(f"--workdir={wd}: no meta or snapshot checkpoint")
   return jax.device_put(restored.ema_params), True, int(restored.step)
 
 
@@ -203,17 +224,18 @@ def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
   sde, model, state, sampler = _setup(config, batch)
   params, trained, trained_steps = _maybe_trained_params(config, model,
                                                          state)
-  seq_compile_s, seq_dt, seq_nfe = _time_sampler(sampler, model, params)
-  seq_samples, _ = sampler(model, params, jax.random.PRNGKey(2))
+  seq_compile_s, seq_dt, seq_nfe, seq_samples = _time_sampler(
+      sampler, model, params, return_samples=True)
 
   window = window or max(8, 128 // max(batch, 1))  # W*B ~ 128 images/eval
   pcfg = _load_config(batch)
   pcfg.sampling.method = "picard"
   pcfg.sampling.picard_window = window
   pcfg.sampling.picard_tol = tol
+  pcfg.sampling.chunk = 100  # bounded dispatches, like the sequential side
   _, _, _, psampler = _setup(pcfg, batch, build_state=False)
-  compile_s, dt, nfe = _time_sampler(psampler, model, params)
-  psamples, _ = psampler(model, params, jax.random.PRNGKey(2))
+  compile_s, dt, nfe, psamples = _time_sampler(psampler, model, params,
+                                               return_samples=True)
 
   import numpy as np
   rms = float(np.sqrt(np.mean(
@@ -238,8 +260,8 @@ def run_one_picard_dpm(batch: int, steps: int = 50,
   sde, model, state, sampler = _setup(config, batch)
   params, trained, trained_steps = _maybe_trained_params(config, model,
                                                          state)
-  _, seq_dt, seq_nfe = _time_sampler(sampler, model, params)
-  seq_samples, _ = sampler(model, params, jax.random.PRNGKey(2))
+  _, seq_dt, seq_nfe, seq_samples = _time_sampler(
+      sampler, model, params, return_samples=True)
 
   pcfg = _load_config(batch)
   pcfg.sampling.method = "picard_dpm"
@@ -247,8 +269,8 @@ def run_one_picard_dpm(batch: int, steps: int = 50,
   pcfg.sampling.picard_window = 0  # whole trajectory: one block
   pcfg.sampling.picard_tol = tol
   _, _, _, psampler = _setup(pcfg, batch, build_state=False)
-  compile_s, dt, nfe = _time_sampler(psampler, model, params)
-  psamples, _ = psampler(model, params, jax.random.PRNGKey(2))
+  compile_s, dt, nfe, psamples = _time_sampler(psampler, model, params,
+                                               return_samples=True)
 
   import numpy as np
   rms = float(np.sqrt(np.mean(

@@ -116,6 +116,17 @@ def test_exact_with_window_not_dividing_n():
   np.testing.assert_allclose(got, want, **EXACT)
 
 
+def test_exact_multi_substep_corrector():
+  """n_steps_each=2: the corrector's internal key split/scan must fold
+  into the per-step map identically under the window vmap."""
+  seq = _config(n_steps_each=2, num_scales=6)
+  want, got, seq_nfe, nfe = _seq_vs_picard(
+      seq, picard_window=3, picard_tol=0.0)
+  np.testing.assert_allclose(got, want, **EXACT)
+  assert seq_nfe == 6 * 3  # N x (n_steps + 1)
+  assert 0 < nfe <= 2 * 3 * 3 * 3  # blocks x sweeps<=W x W x evals
+
+
 def test_exact_chunked_dispatches():
   """sampling.chunk > 0 splits the Picard chain into bounded host
   dispatches (self-jitting segments) — tol=0 exactness is partition-

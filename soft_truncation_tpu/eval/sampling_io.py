@@ -39,10 +39,12 @@ def get_dir_name(config, sample_dir: str, step: int) -> str:
   return os.path.join(sample_dir, f"ckpt_{step}_{tag}")
 
 
-def save_image_grid(samples_uint8: np.ndarray, path: str,
-                    max_images: int = 64) -> None:
+def save_image_grid(samples_uint8: np.ndarray, path,
+                    max_images: int = 64, format: str = None) -> None:
   """Save a PNG grid (replaces torchvision.utils.save_image,
-  reference sampling_lib.py:49-54)."""
+  reference sampling_lib.py:49-54). ``path`` may be a filesystem path or
+  a writable file object (then pass ``format``, e.g. "PNG" — used by the
+  serving endpoint to stream grids without touching disk)."""
   from PIL import Image
 
   imgs = samples_uint8[:max_images]
@@ -56,7 +58,7 @@ def save_image_grid(samples_uint8: np.ndarray, path: str,
     grid[r * h:(r + 1) * h, col * w:(col + 1) * w] = img
   if c == 1:
     grid = grid[..., 0]
-  Image.fromarray(grid).save(path)
+  Image.fromarray(grid).save(path, format=format)
 
 
 def begin_samples(config, model, params, sampling_fn, step: int,

@@ -1,0 +1,259 @@
+"""Serving stack tests (soft_truncation_tpu/serve/).
+
+The load-bearing properties: (1) the AOT artifact replays the SAME
+program — deserialize(serialize(export)) reproduces the direct jitted
+sampler bit-for-bit (uint8 equality); (2) the artifact pair is
+self-sufficient — the HTTP server answers sampling requests from
+(artifact, params npz) alone, deterministically per seed; (3) the
+cross-platform story lowers for a TPU this host does not have.
+
+Beyond parity: the reference has no deployment/serving path at all.
+"""
+
+import json
+import struct
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from soft_truncation_tpu.configs.base import default_config, override
+from soft_truncation_tpu.models import create_model
+from soft_truncation_tpu.serve import (artifact_meta, export_sampler,
+                                       load_artifact, load_params_npz,
+                                       make_serving_fn, make_server,
+                                       save_artifact, save_params_npz)
+from soft_truncation_tpu.serve.export import _MAGIC
+
+# tiny model/sampler overrides shared with the generated CLI config (all
+# literals so the CLI test can embed repr() of this dict in a config file)
+TINY = {
+    "training": dict(sde="vesde", continuous=True, eta=1e-6,
+                     truncation_time=1e-3),
+    "data": dict(image_size=8, centered=False),
+    "sampling": dict(method="dpm_solver", dpm_steps=4, noise_removal=True,
+                     batch_size=2),
+    "model": dict(
+        name="ncsnpp", scale_by_sigma=True, ema_rate=0.999,
+        normalization="GroupNorm", nonlinearity="swish", nf=8,
+        ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(4,),
+        resamp_with_conv=True, conditional=True, fir=False,
+        fir_kernel=[1, 3, 3, 1], skip_rescale=True, resblock_type="biggan",
+        progressive="none", progressive_input="none",
+        progressive_combine="sum", init_scale=0.0,
+        embedding_type="fourier", fourier_scale=16, num_scales=6),
+}
+
+
+def _config(**sampling_overrides):
+  config = default_config("cifar10")
+  override(config, TINY)
+  for k, v in sampling_overrides.items():
+    setattr(config.sampling, k, v)
+  return config
+
+
+def _params(config):
+  model = create_model(config)
+  x = np.zeros((2, 8, 8, 3), np.float32)
+  t = np.full((2,), 1.0, np.float32)
+  return model.init({"params": jax.random.PRNGKey(0)}, x, t,
+                    train=False)["params"]
+
+
+def _roundtrip(exported):
+  from jax import export as jax_export
+  return jax_export.deserialize(exported.serialize())
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("method", ["dpm_solver", "pc"])
+def test_export_roundtrip_matches_direct(method):
+  config = _config(method=method)
+  if method == "pc":
+    config.sampling.predictor = "reverse_diffusion"
+    config.sampling.corrector = "langevin"
+    config.sampling.snr = 0.16
+    config.sampling.n_steps_each = 1
+    config.model.num_scales = 6
+  params = _params(config)
+  _, fn, shape = make_serving_fn(config)
+  key = jax.random.PRNGKey(3)
+  want_samples, want_nfe = fn(params, key)
+
+  exported = export_sampler(config, params)
+  got_samples, got_nfe = _roundtrip(exported).call(params, key)
+
+  assert want_samples.dtype == np.uint8 and want_samples.shape == shape
+  np.testing.assert_array_equal(np.asarray(want_samples),
+                                np.asarray(got_samples))
+  assert int(want_nfe) == int(got_nfe)
+
+
+def test_chunked_picard_rejected():
+  # chunk < num_scales so the chunked (self-jitting) path is actually taken
+  config = _config(method="picard", chunk=2)
+  config.sampling.predictor = "reverse_diffusion"
+  config.sampling.corrector = "none"
+  config.sampling.snr = 0.16
+  config.sampling.n_steps_each = 1
+  with pytest.raises(ValueError, match="chunk"):
+    make_serving_fn(config)
+
+
+@pytest.mark.fast
+def test_artifact_file_roundtrip(tmp_path):
+  config = _config()
+  params = _params(config)
+  exported = export_sampler(config, params)
+  shape = (2, 8, 8, 3)
+  meta = artifact_meta(config, shape, exported)
+  path = str(tmp_path / "a.stsrv")
+  save_artifact(exported, meta, path)
+
+  loaded, got_meta = load_artifact(path)
+  assert got_meta["sample_shape"] == [2, 8, 8, 3]
+  assert got_meta["sampling_method"] == "dpm_solver"
+  assert got_meta["model_name"] == "ncsnpp"
+  key = jax.random.PRNGKey(1)
+  _, fn, _ = make_serving_fn(config)
+  np.testing.assert_array_equal(np.asarray(fn(params, key)[0]),
+                                np.asarray(loaded.call(params, key)[0]))
+
+
+def test_artifact_bad_magic(tmp_path):
+  path = str(tmp_path / "bad.stsrv")
+  with open(path, "wb") as f:
+    f.write(b"NOTSTSRV" + struct.pack(">I", 2) + b"{}")
+  with pytest.raises(ValueError, match="bad magic"):
+    load_artifact(path)
+
+
+@pytest.mark.fast
+def test_params_npz_roundtrip(tmp_path):
+  config = _config()
+  params = _params(config)
+  path = str(tmp_path / "p.npz")
+  save_params_npz(params, path)
+  got = load_params_npz(path)
+  assert (jax.tree_util.tree_structure(jax.tree.map(np.asarray, params))
+          == jax.tree_util.tree_structure(got))
+  for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got)):
+    np.testing.assert_array_equal(np.asarray(a), b)
+
+
+def test_cross_platform_lowering_includes_tpu():
+  """Export on this CPU host for a TPU it does not have: the multi-
+  platform artifact must serialize, deserialize, and still execute on
+  the CPU leg."""
+  config = _config()
+  params = _params(config)
+  exported = export_sampler(config, params, platforms=("tpu", "cpu"))
+  assert set(exported.platforms) == {"tpu", "cpu"}
+  loaded = _roundtrip(exported)
+  samples, _ = loaded.call(params, jax.random.PRNGKey(0))
+  assert np.asarray(samples).shape == (2, 8, 8, 3)
+
+
+# ---------------------------------------------------------------------------
+# HTTP server
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def serving_pair(tmp_path_factory):
+  tmp = tmp_path_factory.mktemp("serve")
+  config = _config()
+  params = _params(config)
+  exported = export_sampler(config, params)
+  meta = artifact_meta(config, (2, 8, 8, 3), exported)
+  artifact = str(tmp / "a.stsrv")
+  params_path = str(tmp / "p.npz")
+  save_artifact(exported, meta, artifact)
+  save_params_npz(params, params_path)
+  return artifact, params_path
+
+
+@pytest.fixture(scope="module")
+def server(serving_pair):
+  artifact, params_path = serving_pair
+  srv = make_server(artifact, params_path, host="127.0.0.1", port=0)
+  t = threading.Thread(target=srv.serve_forever, daemon=True)
+  t.start()
+  yield f"http://127.0.0.1:{srv.server_address[1]}"
+  srv.shutdown()
+
+
+def _post(url, body):
+  req = urllib.request.Request(url, data=json.dumps(body).encode(),
+                               headers={"Content-Type": "application/json"})
+  with urllib.request.urlopen(req, timeout=120) as r:
+    return r.read(), r.headers.get("Content-Type")
+
+
+@pytest.mark.fast
+def test_server_healthz_and_npz_sampling(server):
+  with urllib.request.urlopen(server + "/healthz", timeout=30) as r:
+    health = json.loads(r.read())
+  assert health["status"] == "ok"
+  assert health["meta"]["sample_shape"] == [2, 8, 8, 3]
+
+  # num=3 > batch=2 exercises the multi-replay path + final slice
+  body, ctype = _post(server + "/sample", {"num": 3, "seed": 5})
+  assert ctype == "application/octet-stream"
+  import io
+  with np.load(io.BytesIO(body)) as f:
+    samples, nfe = f["samples"], int(f["nfe"])
+  assert samples.shape == (3, 8, 8, 3) and samples.dtype == np.uint8
+  assert nfe > 0
+
+  body2, _ = _post(server + "/sample", {"num": 3, "seed": 5})
+  assert body2 == body  # deterministic per seed
+  body3, _ = _post(server + "/sample", {"num": 3, "seed": 6})
+  assert body3 != body  # seed actually matters
+
+
+def test_server_png_and_errors(server):
+  body, ctype = _post(server + "/sample",
+                      {"num": 2, "seed": 0, "format": "png"})
+  assert ctype == "image/png" and body[:8] == b"\x89PNG\r\n\x1a\n"
+
+  for bad in ({"num": 0}, {"format": "gif"}, {"num": "xyz"}):
+    req = urllib.request.Request(
+        server + "/sample", data=json.dumps(bad).encode(),
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+  with pytest.raises(urllib.error.HTTPError) as e:
+    urllib.request.urlopen(server + "/nope", timeout=30)
+  assert e.value.code == 404
+
+
+def test_cli_exporter_random_init(tmp_path):
+  """tools/export_sampler.py end to end (random-init path, --cpu)."""
+  cfg_file = tmp_path / "tiny_config.py"
+  cfg_file.write_text(
+      "from soft_truncation_tpu.configs.base import default_config, "
+      "override\n"
+      f"TINY = {TINY!r}\n"
+      "def get_config():\n"
+      "  config = default_config('cifar10')\n"
+      "  override(config, TINY)\n"
+      "  return config\n")
+  import os
+  import sys
+  sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+  import export_sampler as cli
+  out = str(tmp_path / "artifact")
+  cli.main(["--config", str(cfg_file), "--out", out, "--cpu"])
+
+  loaded, meta = load_artifact(out + ".stsrv")
+  params = load_params_npz(out + ".params.npz")
+  assert meta["checkpoint_step"] == 0
+  samples, _ = loaded.call(params, jax.random.PRNGKey(0))
+  assert np.asarray(samples).shape == tuple(meta["sample_shape"])

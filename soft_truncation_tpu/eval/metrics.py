@@ -28,6 +28,20 @@ def compute_stats(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
   return mu, sigma
 
 
+def _sqrtm(a: np.ndarray) -> np.ndarray:
+  """Matrix square root, portable across the scipy 1.18 `disp` removal
+  (the old disp=False tuple form is deprecated; the future form returns
+  the matrix alone and never prints — callers check finiteness)."""
+  import warnings
+  with warnings.catch_warnings():
+    warnings.simplefilter("ignore", DeprecationWarning)
+    try:
+      out = scipy.linalg.sqrtm(a, disp=False)
+      return out[0] if isinstance(out, tuple) else out
+    except TypeError:  # scipy >= 1.18: disp argument removed
+      return scipy.linalg.sqrtm(a)
+
+
 def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
   """FID between two Gaussians (cleanfid/fid.py:27-81)."""
   mu1 = np.atleast_1d(np.asarray(mu1, dtype=np.float64))
@@ -37,10 +51,10 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
   assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
 
   diff = mu1 - mu2
-  covmean, _ = scipy.linalg.sqrtm(sigma1.dot(sigma2), disp=False)
+  covmean = _sqrtm(sigma1.dot(sigma2))
   if not np.isfinite(covmean).all():
     offset = np.eye(sigma1.shape[0]) * eps
-    covmean = scipy.linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
   if np.iscomplexobj(covmean):
     if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
       # Rank-deficient product (e.g. far fewer samples than feature
@@ -49,8 +63,7 @@ def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
       # non-degenerate regime this branch is never taken, so results
       # are identical.
       offset = np.eye(sigma1.shape[0]) * eps
-      covmean, _ = scipy.linalg.sqrtm(
-          (sigma1 + offset).dot(sigma2 + offset), disp=False)
+      covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
       if (np.iscomplexobj(covmean)
           and not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3)):
         raise ValueError(

@@ -15,27 +15,33 @@ from typing import Callable, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 Array = jax.Array
 
-# Dormand-Prince RK45 tableau (identical to scipy.integrate.RK45)
-_C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+# Dormand-Prince RK45 tableau (identical to scipy.integrate.RK45).
+# Host numpy on purpose: jnp here would be a DEVICE op at import time,
+# eagerly initializing the backend before any caller can pin a platform
+# (and wedging imports outright when the TPU tunnel is unhealthy — see
+# CLAUDE.md). As trace-time literals the constants compile identically.
+_C = np.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0], np.float32)
 _A = [
-    jnp.array([]),
-    jnp.array([1 / 5]),
-    jnp.array([3 / 40, 9 / 40]),
-    jnp.array([44 / 45, -56 / 15, 32 / 9]),
-    jnp.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729]),
-    jnp.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
-               -5103 / 18656]),
-    jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
-               11 / 84]),
+    np.array([], np.float32),
+    np.array([1 / 5], np.float32),
+    np.array([3 / 40, 9 / 40], np.float32),
+    np.array([44 / 45, -56 / 15, 32 / 9], np.float32),
+    np.array([19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729],
+             np.float32),
+    np.array([9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
+              -5103 / 18656], np.float32),
+    np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+              11 / 84], np.float32),
 ]
-_B = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
-                11 / 84, 0.0])
+_B = np.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
+               11 / 84, 0.0], np.float32)
 # 4th-order embedded solution error weights (b - b_hat)
-_E = jnp.array([71 / 57600, 0.0, -71 / 16695, 71 / 1920, -17253 / 339200,
-                22 / 525, -1 / 40])
+_E = np.array([71 / 57600, 0.0, -71 / 16695, 71 / 1920, -17253 / 339200,
+               22 / 525, -1 / 40], np.float32)
 
 _SAFETY = 0.9
 _MIN_FACTOR = 0.2

@@ -84,10 +84,12 @@ def make_serving_fn(config, batch: Optional[int] = None):
 def export_sampler(config, params,
                    batch: Optional[int] = None,
                    platforms: Optional[Sequence[str]] = None
-                   ) -> jax_export.Exported:
+                   ) -> Tuple[jax_export.Exported, Tuple[int, ...]]:
   """AOT-lower the configured sampler to a serializable Exported.
 
-  ``platforms`` lowers for targets the exporting host may not have
+  Returns ``(exported, shape)`` — the NHWC sample shape is authoritative
+  here (callers feed it to :func:`artifact_meta` rather than re-deriving
+  it). ``platforms`` lowers for targets the exporting host may not have
   (e.g. ``("tpu", "cpu")`` from a CPU dev box); None = current backend.
   ``params`` only contributes shapes/dtypes — weights stay external so
   the artifact is checkpoint-independent.
@@ -96,10 +98,13 @@ def export_sampler(config, params,
   param_specs = jax.tree.map(
       lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), params)
   # key layout depends on jax_default_prng_impl (threefry (2,), rbg (4,));
-  # eval_shape derives it without a device op (wedged-tunnel safe)
-  key_spec = jax.eval_shape(jax.random.PRNGKey, 0)
+  # eval_shape derives it without a device op (wedged-tunnel safe); the
+  # fresh lambda matters: jax's trace cache does NOT key on
+  # jax_default_prng_impl, so eval_shape(jax.random.PRNGKey, ...) would
+  # return a stale spec after an impl switch
+  key_spec = jax.eval_shape(lambda s: jax.random.PRNGKey(s), 0)
   kwargs = {"platforms": tuple(platforms)} if platforms else {}
-  return jax_export.export(fn, **kwargs)(param_specs, key_spec)
+  return jax_export.export(fn, **kwargs)(param_specs, key_spec), shape
 
 
 def artifact_meta(config, shape, exported: jax_export.Exported
@@ -111,6 +116,9 @@ def artifact_meta(config, shape, exported: jax_export.Exported
       "sampling_method": config.sampling.method,
       "sample_shape": list(shape),
       "platforms": list(exported.platforms),
+      # the exported key_spec layout depends on this; the server must
+      # build request keys under the SAME impl (threefry (2,) vs rbg (4,))
+      "rng_impl": str(jax.config.jax_default_prng_impl),
       "jax_version": jax.__version__,
       "output": "uint8 NHWC in [0,255] + traced nfe scalar",
   }
@@ -144,14 +152,31 @@ def load_artifact(path: str) -> Tuple[jax_export.Exported, Dict[str, Any]]:
   return jax_export.deserialize(bytearray(payload)), meta
 
 
+# npz cannot represent ml_dtypes extended dtypes (bfloat16/fp8 round-trip
+# as raw void '|V2'); store those as same-width uints + a dtype manifest
+_DTYPES_KEY = "__dtypes__"
+_UINT_OF_WIDTH = {1: np.uint8, 2: np.uint16, 4: np.uint32}
+
+
 def save_params_npz(params, path: str) -> None:
   """Flatten the parameter pytree to a path-keyed npz so a serving host
-  can reload it without the Flax module that defined it."""
-  flat = {}
+  can reload it without the Flax module that defined it. Extended dtypes
+  (bfloat16 EMA shadows, fp8) are bit-cast to uints and recorded in a
+  dtype manifest entry so they survive the npz format."""
+  flat, ext_dtypes = {}, {}
   for kp, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
     name = "/".join(
         k.key if hasattr(k, "key") else str(k.idx) for k in kp)
-    flat[name] = np.asarray(leaf)
+    if name == _DTYPES_KEY:
+      raise ValueError(f"parameter path collides with the reserved "
+                       f"manifest key {_DTYPES_KEY!r}")
+    a = np.asarray(leaf)
+    if a.dtype.kind == "V":  # ml_dtypes extension (bfloat16, float8_*)
+      ext_dtypes[name] = a.dtype.name
+      a = a.view(_UINT_OF_WIDTH[a.dtype.itemsize])
+    flat[name] = a
+  flat[_DTYPES_KEY] = np.frombuffer(
+      json.dumps(ext_dtypes, sort_keys=True).encode("utf-8"), np.uint8)
   np.savez(path, **flat)
 
 
@@ -159,10 +184,17 @@ def load_params_npz(path: str):
   """Rebuild the nested-dict parameter pytree from a params npz."""
   params: Dict[str, Any] = {}
   with np.load(path) as f:
+    ext_dtypes = (json.loads(bytes(f[_DTYPES_KEY]).decode("utf-8"))
+                  if _DTYPES_KEY in f.files else {})
     for name in f.files:
+      if name == _DTYPES_KEY:
+        continue
       node = params
       keys = name.split("/")
       for k in keys[:-1]:
         node = node.setdefault(k, {})
-      node[keys[-1]] = f[name]
+      leaf = f[name]
+      if name in ext_dtypes:  # np.dtype resolves ml_dtypes names
+        leaf = leaf.view(np.dtype(ext_dtypes[name]))
+      node[keys[-1]] = leaf
   return params

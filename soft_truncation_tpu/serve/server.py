@@ -45,19 +45,32 @@ log = logging.getLogger(__name__)
 
 
 class SamplingService:
-  """Replay an exported sampler; thread-safe, deterministic per seed."""
+  """Replay an exported sampler; thread-safe, deterministic per seed.
 
-  def __init__(self, exported, params, meta: Dict[str, Any]):
+  ``max_num`` bounds one request's work: the device lock is held for
+  ``ceil(num / batch)`` sequential program replays and every replay's
+  samples are buffered on the host, so an unbounded ``num`` would let a
+  single request wedge the single-tenant device and OOM the host."""
+
+  def __init__(self, exported, params, meta: Dict[str, Any],
+               max_num: int = 4096):
+    # the artifact's key calling convention was fixed at export time
+    # (threefry (2,) vs rbg (4,) uint32) — apply the recorded impl so
+    # PRNGKey/fold_in below produce matching keys
+    if meta.get("rng_impl"):
+      jax.config.update("jax_default_prng_impl", meta["rng_impl"])
     self._call = jax.jit(exported.call)  # one trace, cached thereafter
     self._params = params
     self.meta = dict(meta)
     self.batch = int(meta["sample_shape"][0])
+    self.max_num = int(max_num)
     self._lock = threading.Lock()  # single-tenant device
 
   def sample(self, num: int, seed: int) -> Tuple[np.ndarray, int]:
     """``num`` uint8 NHWC samples and the total measured NFE."""
-    if num <= 0:
-      raise ValueError(f"num must be positive, got {num}")
+    if not 0 < num <= self.max_num:
+      raise ValueError(
+          f"num must be in [1, {self.max_num}], got {num}")
     base = jax.random.PRNGKey(seed)
     chunks, nfe = [], 0
     with self._lock:
@@ -99,14 +112,26 @@ def _make_handler(service: SamplingService):
       try:
         length = int(self.headers.get("Content-Length", 0))
         req = json.loads(self.rfile.read(length) or b"{}")
+        if not isinstance(req, dict):
+          raise ValueError(f"request body must be a JSON object, "
+                           f"got {type(req).__name__}")
         num = int(req.get("num", service.batch))
         seed = int(req.get("seed", 0))
         fmt = str(req.get("format", "npz")).lower()
         if fmt not in ("npz", "png"):
           raise ValueError(f"format must be npz or png, got {fmt!r}")
-        samples, nfe = service.sample(num, seed)
-      except (ValueError, KeyError, json.JSONDecodeError) as e:
+      except (ValueError, KeyError, TypeError,
+              json.JSONDecodeError) as e:  # int(None) raises TypeError
         self._reply_json(400, {"error": str(e)})
+        return
+      try:
+        samples, nfe = service.sample(num, seed)
+      except ValueError as e:  # request out of bounds
+        self._reply_json(400, {"error": str(e)})
+        return
+      except Exception as e:  # sampler runtime failure — still reply
+        log.exception("sampling failed")
+        self._reply_json(500, {"error": f"sampling failed: {e}"})
         return
       buf = io.BytesIO()
       if fmt == "npz":
@@ -121,12 +146,12 @@ def _make_handler(service: SamplingService):
 
 
 def make_server(artifact_path: str, params_path: str, host: str = "0.0.0.0",
-                port: int = 8000) -> ThreadingHTTPServer:
+                port: int = 8000, max_num: int = 4096) -> ThreadingHTTPServer:
   """Load the artifact pair and bind the HTTP server (``port=0`` picks a
   free port; call ``serve_forever()`` to run)."""
   exported, meta = load_artifact(artifact_path)
   params = load_params_npz(params_path)
-  service = SamplingService(exported, params, meta)
+  service = SamplingService(exported, params, meta, max_num=max_num)
   return ThreadingHTTPServer((host, port), _make_handler(service))
 
 
@@ -136,9 +161,16 @@ def main(argv=None):
   p.add_argument("--params", required=True)
   p.add_argument("--host", default="0.0.0.0")
   p.add_argument("--port", type=int, default=8000)
+  p.add_argument("--max-num", type=int, default=4096,
+                 help="per-request sample-count cap")
+  p.add_argument("--cpu", action="store_true",
+                 help="pin jax to host CPU before any device op")
   args = p.parse_args(argv)
+  if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
   logging.basicConfig(level=logging.INFO)
-  srv = make_server(args.artifact, args.params, args.host, args.port)
+  srv = make_server(args.artifact, args.params, args.host, args.port,
+                    max_num=args.max_num)
   log.info("serving on %s:%d", *srv.server_address)
   try:
     srv.serve_forever()

@@ -84,7 +84,8 @@ def test_export_roundtrip_matches_direct(method):
   key = jax.random.PRNGKey(3)
   want_samples, want_nfe = fn(params, key)
 
-  exported = export_sampler(config, params)
+  exported, got_shape = export_sampler(config, params)
+  assert got_shape == shape
   got_samples, got_nfe = _roundtrip(exported).call(params, key)
 
   assert want_samples.dtype == np.uint8 and want_samples.shape == shape
@@ -108,8 +109,8 @@ def test_chunked_picard_rejected():
 def test_artifact_file_roundtrip(tmp_path):
   config = _config()
   params = _params(config)
-  exported = export_sampler(config, params)
-  shape = (2, 8, 8, 3)
+  exported, shape = export_sampler(config, params)
+  assert shape == (2, 8, 8, 3)
   meta = artifact_meta(config, shape, exported)
   path = str(tmp_path / "a.stsrv")
   save_artifact(exported, meta, path)
@@ -145,13 +146,59 @@ def test_params_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(a), b)
 
 
+@pytest.mark.fast
+def test_params_npz_roundtrip_bfloat16(tmp_path):
+  """Extended dtypes survive the npz (naive np.savez turns bfloat16 into
+  raw '|V2' void — the tpu.ema_dtype='bfloat16' deployment case)."""
+  import ml_dtypes
+  params = {
+      "dense": {"kernel": np.arange(12, dtype=np.float32).reshape(3, 4)
+                .astype(ml_dtypes.bfloat16),
+                "bias": np.ones((4,), np.float32)},
+      "f8": np.linspace(-1, 1, 8).astype(ml_dtypes.float8_e4m3fn),
+  }
+  path = str(tmp_path / "p.npz")
+  save_params_npz(params, path)
+  got = load_params_npz(path)
+  assert got["dense"]["kernel"].dtype == ml_dtypes.bfloat16
+  assert got["dense"]["bias"].dtype == np.float32
+  assert got["f8"].dtype == ml_dtypes.float8_e4m3fn
+  for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(got)):
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.fast
+def test_rng_impl_recorded_and_served(tmp_path):
+  """An artifact exported under a non-default PRNG impl (rbg keys are
+  (4,) uint32, not threefry's (2,)) must be served with matching request
+  keys — meta records the impl and SamplingService applies it."""
+  from soft_truncation_tpu.serve.server import SamplingService
+  default_impl = str(jax.config.jax_default_prng_impl)
+  config = _config()
+  config.tpu.rng_impl = "rbg"
+  params = _params(config)
+  try:
+    exported, shape = export_sampler(config, params)
+    meta = artifact_meta(config, shape, exported)
+    assert meta["rng_impl"] == "rbg"
+    # a fresh serving host starts on the default impl; the service must
+    # recover the exported key convention from meta alone
+    jax.config.update("jax_default_prng_impl", default_impl)
+    service = SamplingService(exported, params, meta)
+    samples, nfe = service.sample(3, seed=7)
+    assert samples.shape == (3, 8, 8, 3) and samples.dtype == np.uint8
+    assert nfe > 0
+  finally:
+    jax.config.update("jax_default_prng_impl", default_impl)
+
+
 def test_cross_platform_lowering_includes_tpu():
   """Export on this CPU host for a TPU it does not have: the multi-
   platform artifact must serialize, deserialize, and still execute on
   the CPU leg."""
   config = _config()
   params = _params(config)
-  exported = export_sampler(config, params, platforms=("tpu", "cpu"))
+  exported, _ = export_sampler(config, params, platforms=("tpu", "cpu"))
   assert set(exported.platforms) == {"tpu", "cpu"}
   loaded = _roundtrip(exported)
   samples, _ = loaded.call(params, jax.random.PRNGKey(0))
@@ -168,8 +215,8 @@ def serving_pair(tmp_path_factory):
   tmp = tmp_path_factory.mktemp("serve")
   config = _config()
   params = _params(config)
-  exported = export_sampler(config, params)
-  meta = artifact_meta(config, (2, 8, 8, 3), exported)
+  exported, shape = export_sampler(config, params)
+  meta = artifact_meta(config, shape, exported)
   artifact = str(tmp / "a.stsrv")
   params_path = str(tmp / "p.npz")
   save_artifact(exported, meta, artifact)
@@ -221,17 +268,50 @@ def test_server_png_and_errors(server):
                       {"num": 2, "seed": 0, "format": "png"})
   assert ctype == "image/png" and body[:8] == b"\x89PNG\r\n\x1a\n"
 
-  for bad in ({"num": 0}, {"format": "gif"}, {"num": "xyz"}):
+  # every malformed request gets a 400 JSON reply, never a dropped
+  # connection: zero/huge num, bad format, non-int num, JSON-null num
+  # (TypeError path), and a valid-JSON-but-not-an-object body
+  for bad in ({"num": 0}, {"num": 10**9}, {"format": "gif"},
+              {"num": "xyz"}, {"num": None}, [1, 2]):
     req = urllib.request.Request(
         server + "/sample", data=json.dumps(bad).encode(),
         headers={"Content-Type": "application/json"})
     with pytest.raises(urllib.error.HTTPError) as e:
       urllib.request.urlopen(req, timeout=30)
-    assert e.value.code == 400
+    assert e.value.code == 400, bad
+    assert "error" in json.loads(e.value.read())
 
   with pytest.raises(urllib.error.HTTPError) as e:
     urllib.request.urlopen(server + "/nope", timeout=30)
   assert e.value.code == 404
+
+
+def test_server_runtime_failure_returns_500():
+  """A sampler runtime failure must produce an HTTP 500 reply, not a
+  dead connection (stub service, no artifact needed)."""
+  from http.server import ThreadingHTTPServer
+  from soft_truncation_tpu.serve.server import _make_handler
+
+  class Boom:
+    meta = {"sample_shape": [2, 8, 8, 3]}
+    batch = 2
+
+    def sample(self, num, seed):
+      raise RuntimeError("device exploded")
+
+  srv = ThreadingHTTPServer(("127.0.0.1", 0), _make_handler(Boom()))
+  t = threading.Thread(target=srv.serve_forever, daemon=True)
+  t.start()
+  try:
+    url = f"http://127.0.0.1:{srv.server_address[1]}/sample"
+    req = urllib.request.Request(
+        url, data=b"{}", headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as e:
+      urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 500
+    assert "device exploded" in json.loads(e.value.read())["error"]
+  finally:
+    srv.shutdown()
 
 
 def test_cli_exporter_random_init(tmp_path):

@@ -56,8 +56,6 @@ def main(argv=None):
   from soft_truncation_tpu.train import CheckpointManager, init_train_state
 
   config = _load_config(args.config)
-  if args.batch:
-    config.sampling.batch_size = args.batch
 
   model = create_model(config)
   step = 0
@@ -79,10 +77,8 @@ def main(argv=None):
     params = state.params
 
   platforms = args.platforms.split(",") if args.platforms else None
-  exported = export_sampler(config, params, batch=args.batch,
-                            platforms=platforms)
-  shape = (config.sampling.batch_size, config.data.image_size,
-           config.data.image_size, config.data.num_channels)
+  exported, shape = export_sampler(config, params, batch=args.batch,
+                                   platforms=platforms)
   meta = artifact_meta(config, shape, exported)
   meta["checkpoint_step"] = step
   save_artifact(exported, meta, args.out + ".stsrv")

@@ -83,7 +83,8 @@ def make_serving_fn(config, batch: Optional[int] = None):
 
 def export_sampler(config, params,
                    batch: Optional[int] = None,
-                   platforms: Optional[Sequence[str]] = None
+                   platforms: Optional[Sequence[str]] = None,
+                   mesh=None
                    ) -> Tuple[jax_export.Exported, Tuple[int, ...]]:
   """AOT-lower the configured sampler to a serializable Exported.
 
@@ -93,8 +94,22 @@ def export_sampler(config, params,
   (e.g. ``("tpu", "cpu")`` from a CPU dev box); None = current backend.
   ``params`` only contributes shapes/dtypes — weights stay external so
   the artifact is checkpoint-independent.
+
+  ``mesh`` exports a MULTI-DEVICE program: params/key replicated, the
+  sample batch GSPMD-sharded over the mesh's 'data' axis (jax.export
+  records the shardings and device count; the serving host replays it on
+  the same number of devices — SamplingService handles placement). The
+  batch must divide the mesh size.
   """
   _, fn, shape = make_serving_fn(config, batch=batch)
+  if mesh is not None:
+    from ..parallel import batch_sharding, replicated_sharding
+    if shape[0] % mesh.devices.size:
+      raise ValueError(f"batch {shape[0]} must divide the mesh size "
+                       f"{mesh.devices.size}")
+    rs = replicated_sharding(mesh)
+    fn = jax.jit(fn, in_shardings=(rs, rs),
+                 out_shardings=(batch_sharding(mesh), rs))
   param_specs = jax.tree.map(
       lambda a: jax.ShapeDtypeStruct(np.shape(a), a.dtype), params)
   # key layout depends on jax_default_prng_impl (threefry (2,), rbg (4,));
@@ -119,6 +134,9 @@ def artifact_meta(config, shape, exported: jax_export.Exported
       # the exported key_spec layout depends on this; the server must
       # build request keys under the SAME impl (threefry (2,) vs rbg (4,))
       "rng_impl": str(jax.config.jax_default_prng_impl),
+      # >1 for GSPMD-sharded programs: the serving host must replay on
+      # exactly this many devices (SamplingService builds the mesh)
+      "num_devices": int(exported.nr_devices),
       "jax_version": jax.__version__,
       "output": "uint8 NHWC in [0,255] + traced nfe scalar",
   }

@@ -60,11 +60,24 @@ class SamplingService:
     if meta.get("rng_impl"):
       jax.config.update("jax_default_prng_impl", meta["rng_impl"])
     self._call = jax.jit(exported.call)  # one trace, cached thereafter
-    self._params = params
     self.meta = dict(meta)
     self.batch = int(meta["sample_shape"][0])
     self.max_num = int(max_num)
     self._lock = threading.Lock()  # single-tenant device
+    # GSPMD artifact: replay needs a device context spanning exactly the
+    # exported device count — replicate params/key over a data mesh
+    nr = int(getattr(exported, "nr_devices", 1))
+    self._replicated = None
+    if nr > 1:
+      if len(jax.devices()) < nr:
+        raise ValueError(
+            f"artifact was exported for {nr} devices; this host has "
+            f"{len(jax.devices())}")
+      from ..parallel import make_mesh, replicated_sharding
+      mesh = make_mesh(devices=jax.devices()[:nr])
+      self._replicated = replicated_sharding(mesh)
+      params = jax.device_put(params, self._replicated)
+    self._params = params
 
   def sample(self, num: int, seed: int) -> Tuple[np.ndarray, int]:
     """``num`` uint8 NHWC samples and the total measured NFE."""
@@ -75,7 +88,10 @@ class SamplingService:
     chunks, nfe = [], 0
     with self._lock:
       for r in range((num + self.batch - 1) // self.batch):
-        samples, n = self._call(self._params, jax.random.fold_in(base, r))
+        key = jax.random.fold_in(base, r)
+        if self._replicated is not None:
+          key = jax.device_put(key, self._replicated)
+        samples, n = self._call(self._params, key)
         chunks.append(np.asarray(samples))
         nfe += int(n)
     return np.concatenate(chunks, axis=0)[:num], nfe
@@ -168,6 +184,11 @@ def main(argv=None):
   args = p.parse_args(argv)
   if args.cpu:
     jax.config.update("jax_platforms", "cpu")
+    # multi-device artifacts need that many devices BEFORE backend init;
+    # peeking at the meta header is pure file I/O
+    nr = int(load_artifact(args.artifact)[1].get("num_devices", 1))
+    if nr > 1:
+      jax.config.update("jax_num_cpu_devices", nr)
   logging.basicConfig(level=logging.INFO)
   srv = make_server(args.artifact, args.params, args.host, args.port,
                     max_num=args.max_num)

@@ -192,6 +192,42 @@ def test_rng_impl_recorded_and_served(tmp_path):
     jax.config.update("jax_default_prng_impl", default_impl)
 
 
+@pytest.mark.fast
+def test_sharded_export_replays_on_mesh(tmp_path):
+  """A mesh export records the GSPMD program (nr_devices=8, batch
+  sharded over 'data'); SamplingService rebuilds the mesh from the
+  artifact alone and the sharded replay is bit-identical to the
+  single-device artifact (threefry values are sharding-invariant)."""
+  from soft_truncation_tpu.parallel import make_mesh
+  from soft_truncation_tpu.serve.server import SamplingService
+
+  config = _config(batch_size=16)
+  params = _params(config)
+  mesh = make_mesh()
+  assert mesh.devices.size == 8  # conftest's virtual CPU mesh
+
+  exported, shape = export_sampler(config, params, mesh=mesh)
+  assert exported.nr_devices == 8
+  meta = artifact_meta(config, shape, exported)
+  assert meta["num_devices"] == 8
+
+  # round-trip through the file format like a real serving host
+  artifact = str(tmp_path / "sharded.stsrv")
+  params_path = str(tmp_path / "p.npz")
+  save_artifact(exported, meta, artifact)
+  save_params_npz(params, params_path)
+  loaded, got_meta = load_artifact(artifact)
+  service = SamplingService(loaded, load_params_npz(params_path), got_meta)
+  got, nfe = service.sample(16, seed=3)
+  assert got.shape == (16, 8, 8, 3) and nfe > 0
+
+  exported1, _ = export_sampler(config, params)
+  service1 = SamplingService(exported1, params, artifact_meta(
+      config, shape, exported1))
+  want, _ = service1.sample(16, seed=3)
+  np.testing.assert_array_equal(want, got)
+
+
 def test_cross_platform_lowering_includes_tpu():
   """Export on this CPU host for a TPU it does not have: the multi-
   platform artifact must serialize, deserialize, and still execute on
@@ -314,8 +350,7 @@ def test_server_runtime_failure_returns_500():
     srv.shutdown()
 
 
-def test_cli_exporter_random_init(tmp_path):
-  """tools/export_sampler.py end to end (random-init path, --cpu)."""
+def _write_tiny_config(tmp_path):
   cfg_file = tmp_path / "tiny_config.py"
   cfg_file.write_text(
       "from soft_truncation_tpu.configs.base import default_config, "
@@ -325,15 +360,57 @@ def test_cli_exporter_random_init(tmp_path):
       "  config = default_config('cifar10')\n"
       "  override(config, TINY)\n"
       "  return config\n")
+  return cfg_file
+
+
+def _cli():
   import os
   import sys
   sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
   import export_sampler as cli
+  return cli
+
+
+def test_cli_exporter_random_init(tmp_path):
+  """tools/export_sampler.py end to end (random-init path, --cpu)."""
+  cfg_file = _write_tiny_config(tmp_path)
   out = str(tmp_path / "artifact")
-  cli.main(["--config", str(cfg_file), "--out", out, "--cpu"])
+  _cli().main(["--config", str(cfg_file), "--out", out, "--cpu"])
 
   loaded, meta = load_artifact(out + ".stsrv")
   params = load_params_npz(out + ".params.npz")
   assert meta["checkpoint_step"] == 0
   samples, _ = loaded.call(params, jax.random.PRNGKey(0))
+  assert np.asarray(samples).shape == tuple(meta["sample_shape"])
+
+
+def test_cli_exporter_restores_ema_checkpoint(tmp_path):
+  """--workdir exports the restored EMA weights, not random init: the
+  production path (abstract template -> restore_meta -> ema_params)."""
+  from soft_truncation_tpu.losses import get_optimizer
+  from soft_truncation_tpu.train import CheckpointManager, init_train_state
+
+  cfg_file = _write_tiny_config(tmp_path)
+  config = _config()
+  model = create_model(config)
+  state = init_train_state(jax.random.PRNGKey(1), config, model,
+                           get_optimizer(config))
+  # recognizable EMA (≠ params) at a nonzero step
+  state = state.replace(
+      step=jax.numpy.asarray(7, state.step.dtype),
+      ema_params=jax.tree.map(lambda a: a + 0.125, state.params))
+  workdir = str(tmp_path / "work")
+  CheckpointManager(workdir).save_meta(state)
+
+  out = str(tmp_path / "trained")
+  _cli().main(["--config", str(cfg_file), "--out", out,
+               "--workdir", workdir, "--cpu"])
+
+  loaded, meta = load_artifact(out + ".stsrv")
+  got = load_params_npz(out + ".params.npz")
+  assert meta["checkpoint_step"] == 7
+  for a, b in zip(jax.tree.leaves(state.ema_params), jax.tree.leaves(got)):
+    np.testing.assert_array_equal(np.asarray(a), b)
+  # and the artifact actually runs with the restored weights
+  samples, _ = loaded.call(got, jax.random.PRNGKey(0))
   assert np.asarray(samples).shape == tuple(meta["sample_shape"])

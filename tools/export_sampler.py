@@ -8,7 +8,8 @@ Produces the deployment pair consumed by soft_truncation_tpu.serve.server:
 
 Usage:
   python tools/export_sampler.py --config <config.py> --workdir <dir>
-      --out <prefix> [--batch N] [--platforms tpu,cpu] [--cpu]
+      --out <prefix> [--batch N] [--platforms tpu,cpu] [--devices N]
+      [--cpu]
 
 --workdir restores the latest EMA checkpoint (the weights a production
 sampler serves); without it the artifact gets random-init weights (smoke
@@ -41,6 +42,9 @@ def main(argv=None):
   p.add_argument("--batch", type=int, default=None)
   p.add_argument("--platforms", default=None,
                  help="comma-separated lowering targets, e.g. tpu,cpu")
+  p.add_argument("--devices", type=int, default=1,
+                 help="export a GSPMD program sharding the sample batch "
+                 "over this many devices (serving host must match)")
   p.add_argument("--cpu", action="store_true",
                  help="pin jax to host CPU (no TPU device op)")
   args = p.parse_args(argv)
@@ -48,6 +52,8 @@ def main(argv=None):
   import jax
   if args.cpu:
     jax.config.update("jax_platforms", "cpu")
+    if args.devices > 1:  # virtual CPU mesh for multi-device lowering
+      jax.config.update("jax_num_cpu_devices", args.devices)
 
   from soft_truncation_tpu.losses import get_optimizer
   from soft_truncation_tpu.models import create_model
@@ -77,8 +83,15 @@ def main(argv=None):
     params = state.params
 
   platforms = args.platforms.split(",") if args.platforms else None
+  mesh = None
+  if args.devices > 1:
+    from soft_truncation_tpu.parallel import make_mesh
+    if len(jax.devices()) < args.devices:
+      raise SystemExit(f"--devices {args.devices} but only "
+                       f"{len(jax.devices())} visible")
+    mesh = make_mesh(devices=jax.devices()[:args.devices])
   exported, shape = export_sampler(config, params, batch=args.batch,
-                                   platforms=platforms)
+                                   platforms=platforms, mesh=mesh)
   meta = artifact_meta(config, shape, exported)
   meta["checkpoint_step"] = step
   save_artifact(exported, meta, args.out + ".stsrv")

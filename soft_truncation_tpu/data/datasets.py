@@ -236,10 +236,19 @@ def _synthetic_array(config, split: str) -> np.ndarray:
   # (TPU) device dragged ~100 MB through the tunneled runtime — measured
   # ~4 min of eval-CLI startup for a stand-in dataset.
   base = rng.randint(0, 256, size=(n, 4, 4, c)).astype(np.float32)
-  cpu = jax.local_devices(backend="cpu")[0]
-  with jax.default_device(cpu):
-    imgs = np.asarray(jax.image.resize(jnp.asarray(base),
-                                       (n, size, size, c), "linear"))
+  try:
+    cpu = jax.local_devices(backend="cpu")[0]
+  except RuntimeError:
+    cpu = None  # axon-only process: the plugin may register no CPU client
+  if cpu is not None:
+    with jax.default_device(cpu):
+      imgs = np.asarray(jax.image.resize(jnp.asarray(base),
+                                         (n, size, size, c), "linear"))
+  else:
+    # TF always executes on the host; bilinear half-pixel sampling matches
+    # jax.image.resize 'linear' for this pure upsample (stand-in data, so
+    # sub-ulp implementation differences are acceptable).
+    imgs = tf.image.resize(base, [size, size], method="bilinear").numpy()
   imgs = imgs + rng.normal(0, 8, size=(n, size, size, c))
   return np.clip(imgs, 0, 255).astype(np.uint8)
 

@@ -162,3 +162,27 @@ def test_uint8_transport_preprocess_equivalence():
   c = np.asarray(jax.jit(pre_plain)(jnp.asarray(u8)))
   d = np.asarray(jax.jit(pre_plain)(jnp.asarray(f32)))
   np.testing.assert_allclose(c, d, rtol=0, atol=2.0**-23)
+
+
+def test_synthetic_array_axon_only_fallback(monkeypatch):
+  """On an axon-only process (the plugin registers no CPU PJRT client —
+  observed in the wild: jax.local_devices(backend='cpu') raises
+  RuntimeError), _synthetic_array must fall back to the TF host resize
+  and produce data statistically identical to the jax path."""
+  from soft_truncation_tpu.data import datasets as D
+
+  config = default_config("cifar10")
+  config.data.image_size = 16
+  ref = D._synthetic_array(config, "test")
+
+  def no_cpu(*_, **kw):
+    if kw.get("backend") == "cpu":
+      raise RuntimeError("Unknown backend cpu. Available backends: axon")
+    return jax.local_devices()
+
+  monkeypatch.setattr(D.jax, "local_devices", no_cpu)
+  fb = D._synthetic_array(config, "test")
+  assert fb.shape == ref.shape and fb.dtype == np.uint8
+  # same RNG draws, only the bilinear implementation differs: half-pixel
+  # upsample in both, so pixels agree to rounding
+  assert np.mean(np.abs(fb.astype(int) - ref.astype(int)) <= 1) > 0.99

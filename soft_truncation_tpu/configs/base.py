@@ -45,10 +45,14 @@ _CIFAR10 = dict(
         # (DPM-Solver++(2M), one score eval per step)
         dpm_steps=50,
         # rebuild extension: sampling.method='picard' (parallel-in-time
-        # PC, sample/parallel.py): window length, per-position RMS
-        # convergence tolerance (0 = exact sequential trajectory), and
-        # sweep cap (0 = window length, the exactness bound)
-        picard_window=64, picard_tol=1e-2, picard_max_sweeps=0),
+        # PC, sample/parallel.py): window length (a LATENCY play — keep
+        # window*batch near the chip's utilization knee; 16 suits batch
+        # 1-4 on v5e), per-position RMS convergence tolerance RELATIVE
+        # to the state's own RMS (0 = exact sequential trajectory; an
+        # absolute tol is unreachable on VE chains whose early states
+        # have magnitude sigma_max ~ 50 — round-3 measured pathology),
+        # and sweep cap (0 = window length, the exactness bound)
+        picard_window=16, picard_tol=1e-3, picard_max_sweeps=0),
     eval=dict(
         begin_ckpt=9, end_ckpt=26, batch_size=200, enable_sampling=False,
         num_samples=50000, enable_loss=True, enable_bpd=False,
@@ -148,6 +152,12 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # cheaper than threefry on TPU; streams are not bit-reproducible
       # across backends but statistically sound.
       rng_impl="threefry2x32",
+      # random bits per dropout-mask element (models/dropout.py): 32 =
+      # exact nn.Dropout parity; 16/8 pack 2/4 mask lanes per threefry
+      # word — same determinism and sharding invariance as 32, keep-rate
+      # quantized to 1/2^bits (at 8: rate 0.1 -> 26/256 ~ 0.1016).
+      # Measured A/B + keep/revert decision in benchmarks/ROOFLINE.md.
+      dropout_bits=32,
       # 'bfloat16' runs GroupNorm statistics in bf16 too. Measured on a
       # v5e: +9% TRAIN step time (keep f32 for training), but -9% PC
       # sampling / -5% DPM sampling per eval (forward-only pays no

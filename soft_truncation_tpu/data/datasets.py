@@ -222,6 +222,21 @@ def _load_tfrecords(config):
   return ds.map(parse, num_parallel_calls=tf.data.AUTOTUNE)
 
 
+def _bilinear_upsample_np(a: np.ndarray, out_len: int, axis: int
+                          ) -> np.ndarray:
+  """Half-pixel bilinear interpolation along one axis (numpy, host)."""
+  in_len = a.shape[axis]
+  x = (np.arange(out_len) + 0.5) * (in_len / out_len) - 0.5
+  xf = np.floor(x).astype(np.int64)
+  x0 = np.clip(xf, 0, in_len - 1)
+  x1 = np.clip(xf + 1, 0, in_len - 1)
+  frac = np.clip(x - xf, 0.0, 1.0).astype(a.dtype)
+  shape = [1] * a.ndim
+  shape[axis] = out_len
+  f = frac.reshape(shape)
+  return np.take(a, x0, axis=axis) * (1 - f) + np.take(a, x1, axis=axis) * f
+
+
 def _synthetic_array(config, split: str) -> np.ndarray:
   """Deterministic stand-in data (uint8) for data-less environments."""
   n = 2048 if split != "train" else 8192
@@ -245,10 +260,12 @@ def _synthetic_array(config, split: str) -> np.ndarray:
       imgs = np.asarray(jax.image.resize(jnp.asarray(base),
                                          (n, size, size, c), "linear"))
   else:
-    # TF always executes on the host; bilinear half-pixel sampling matches
-    # jax.image.resize 'linear' for this pure upsample (stand-in data, so
-    # sub-ulp implementation differences are acceptable).
-    imgs = tf.image.resize(base, [size, size], method="bilinear").numpy()
+    # Pure-numpy half-pixel bilinear upsample: matches jax.image.resize
+    # 'linear' for this pure upsample (edge-clamped taps == jax's
+    # renormalized boundary kernel when the support is <= 2 taps), and —
+    # unlike a TF fallback — works in a TF-less axon-only process too.
+    imgs = _bilinear_upsample_np(_bilinear_upsample_np(base, size, axis=1),
+                                 size, axis=2)
   imgs = imgs + rng.normal(0, 8, size=(n, size, size, c))
   return np.clip(imgs, 0, 255).astype(np.uint8)
 

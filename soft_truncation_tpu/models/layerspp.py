@@ -16,6 +16,7 @@ from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import (conv_downsample_2d, downsample_2d, naive_downsample_2d,
                    naive_upsample_2d, upsample_2d, upsample_conv_2d)
+from .dropout import Dropout
 from .layers import NIN, DDPMConv, default_init, spatial_attention
 
 Array = jax.Array
@@ -214,6 +215,7 @@ class ResnetBlockDDPMpp(nn.Module):
   out_ch: Optional[int] = None
   conv_shortcut: bool = False
   dropout: float = 0.1
+  dropout_bits: int = 32
   skip_rescale: bool = False
   init_scale: float = 0.0
   dtype: Dtype = jnp.float32
@@ -233,7 +235,8 @@ class ResnetBlockDDPMpp(nn.Module):
                        name="temb_proj")(self.act(temb))[:, None, None, :]
     h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
                               dtype=self.norm_dtype, name="norm1")(h))
-    h = nn.Dropout(self.dropout, deterministic=not train)(h)
+    h = Dropout(self.dropout, deterministic=not train,
+                bits=self.dropout_bits)(h)
     h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
                              dtype=self.dtype, name="conv1")(h))
     if in_ch != out_ch:
@@ -255,6 +258,7 @@ class ResnetBlockBigGANpp(nn.Module):
   up: bool = False
   down: bool = False
   dropout: float = 0.1
+  dropout_bits: int = 32
   fir: bool = False
   fir_kernel: Sequence[float] = (1, 3, 3, 1)
   skip_rescale: bool = True
@@ -292,7 +296,8 @@ class ResnetBlockBigGANpp(nn.Module):
                        name="temb_proj")(self.act(temb))[:, None, None, :]
     h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
                               dtype=self.norm_dtype, name="norm1")(h))
-    h = nn.Dropout(self.dropout, deterministic=not train)(h)
+    h = Dropout(self.dropout, deterministic=not train,
+                bits=self.dropout_bits)(h)
     h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
                              dtype=self.dtype, name="conv1")(h))
 

@@ -45,6 +45,10 @@ class NCSNpp(nn.Module):
   attn_resolutions: Sequence[int] = (16,)
   attention: bool = True
   dropout: float = 0.1
+  # random-bit budget per dropout-mask element (models/dropout.py):
+  # 32 = exact flax/nn.Dropout parity; 16/8 = packed threefry bits (2x/4x
+  # fewer hashes — attacks the measured ~25% reproducible-PRNG step tax)
+  dropout_bits: int = 32
   resamp_with_conv: bool = True
   image_size: int = 32
   num_channels: int = 3
@@ -102,12 +106,15 @@ class NCSNpp(nn.Module):
       block_cls = nn.remat(block_cls, static_argnums=(3,), policy=policy)
     ResnetBlock = (
         functools.partial(block_cls, act=act,
-                          dropout=self.dropout, init_scale=self.init_scale,
+                          dropout=self.dropout,
+                          dropout_bits=self.dropout_bits,
+                          init_scale=self.init_scale,
                           skip_rescale=self.skip_rescale, dtype=self.dtype,
                           norm_dtype=self.norm_dtype)
         if self.resblock_type == "ddpm" else
         functools.partial(block_cls, act=act,
-                          dropout=self.dropout, fir=self.fir,
+                          dropout=self.dropout,
+                          dropout_bits=self.dropout_bits, fir=self.fir,
                           fir_kernel=self.fir_kernel,
                           init_scale=self.init_scale,
                           skip_rescale=self.skip_rescale, dtype=self.dtype,
@@ -298,11 +305,14 @@ class NCSNpp(nn.Module):
         tpu_cfg is not None
         and tpu_cfg.get("norm_dtype", "float32") == "bfloat16"
     ) else jnp.float32
+    dropout_bits = int(tpu_cfg.get("dropout_bits", 32)
+                       if tpu_cfg is not None else 32)
     return cls(
         dtype=dtype,
         remat=remat,
         remat_policy=remat_policy,
         norm_dtype=norm_dtype,
+        dropout_bits=dropout_bits,
         nf=m.nf,
         ch_mult=tuple(m.ch_mult),
         num_res_blocks=m.num_res_blocks,

@@ -29,10 +29,14 @@ needed), as long as the chip has idle capacity to absorb the W-fold
 larger batch — the TPU regime at batch 1-8.
 
 Tolerance: a window position counts as converged when the RMS change of
-its state between sweeps is <= `tol` (absolute, data units — inputs live
-in [-1, 1]). `tol = 0` forces the exact fixed point (tested against the
-sequential samplers with the same PRNG key in
-tests/test_picard_parallel.py).
+its state between sweeps is <= `tol` RELATIVE to that position's own
+state RMS (floored at 1, the data scale — inputs live in [-1, 1]). The
+relative form matters: a VE chain's early states have magnitude
+sigma_max ~ 50, so an absolute tolerance in data units is either
+unreachable there (round-3 on-chip A/B: sweeps blew up to ~121x the
+sequential NFE) or meaningless near t=T. `tol = 0` forces the exact
+fixed point (tested against the sequential samplers with the same PRNG
+key in tests/test_picard_parallel.py).
 
 Floating-point caveat: "exact" means exact in exact arithmetic. In f32
 the prefix-sum evaluates the same chain in a different summation order,
@@ -78,10 +82,20 @@ def _picard_chain(step_fn, s_in, n: int, window: int, tol: float,
 
   def _rms_err(Sn, S):
     """Max over leaves and window positions of the per-position RMS
-    state change between sweeps."""
+    state change between sweeps, RELATIVE to the position's own state
+    RMS (floored at 1, the data scale). Scale-free across VP chains
+    (state ~ O(1)) and VE chains (state ~ sigma(t), up to sigma_max ~ 50
+    near t=T) — an absolute criterion is unreachable on the latter."""
     def leaf(a, b):
       d = (a - b).reshape(a.shape[0], -1)
-      return jnp.max(jnp.sqrt(jnp.mean(d * d, axis=-1)))
+
+      def rms(x):
+        x = x.reshape(x.shape[0], -1)
+        return jnp.sqrt(jnp.mean(x * x, axis=-1))
+      # the SMALLER of old/new state RMS: a blow-up in either direction
+      # keeps the error large instead of inflating the denominator
+      scale = jnp.maximum(jnp.minimum(rms(a), rms(b)), 1.0)
+      return jnp.max(rms(d) / scale)
     return jnp.max(jnp.stack(jax.tree.leaves(
         jax.tree.map(leaf, Sn, S))))
 
@@ -92,14 +106,14 @@ def _picard_chain(step_fn, s_in, n: int, window: int, tol: float,
 
     def cond(carry):
       _, _, _, err, sweeps = carry
-      # NaN err means not-yet-visited window positions exploded (their
-      # garbage guesses can overflow in f32 before the exact prefix
-      # reaches them) — that is "not converged", NOT "done": the exact
-      # prefix still grows >= 1 position per sweep regardless of the
-      # tail (position j's cumsum only reads increments i < j), so
+      # Non-finite err means not-yet-visited window positions exploded
+      # (their garbage guesses can overflow in f32 before the exact
+      # prefix reaches them) — that is "not converged", NOT "done": the
+      # exact prefix still grows >= 1 position per sweep regardless of
+      # the tail (position j's cumsum only reads increments i < j), so
       # iterating to max_sweeps_ washes the garbage out. A plain
       # `err > tol` is False for NaN and would exit with garbage.
-      not_converged = jnp.logical_or(jnp.isnan(err), err > tol)
+      not_converged = jnp.logical_or(~jnp.isfinite(err), err > tol)
       return jnp.logical_and(not_converged, sweeps < max_sweeps_)
 
     def body(carry):
@@ -147,8 +161,8 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
                           corrector: str, inverse_scaler, snr: float,
                           n_steps: int = 1, probability_flow: bool = False,
                           continuous: bool = False, denoise: bool = True,
-                          eps: float = 1e-3, window: int = 64,
-                          tol: float = 1e-2,
+                          eps: float = 1e-3, window: int = 16,
+                          tol: float = 1e-3,
                           max_sweeps: int = 0) -> Callable:
   """Drop-in PC sampler (same flags as get_pc_sampler) with parallel-in-
   time Picard iteration. Returns sampler(model, params, key) ->
@@ -248,7 +262,7 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
 def get_picard_dpm_sampler(config, sde: SDE, shape, inverse_scaler,
                            steps: int = 50, denoise: bool = True,
                            eps: float = 1e-3, window: int = 0,
-                           tol: float = 1e-2,
+                           tol: float = 1e-3,
                            max_sweeps: int = 0) -> Callable:
   """Parallel-in-time DPM-Solver++(2M) — the same schedule/update as
   get_dpm_solver_sampler (sampling.py), Picard-iterated over the

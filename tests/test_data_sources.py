@@ -167,18 +167,21 @@ def test_uint8_transport_preprocess_equivalence():
 def test_synthetic_array_axon_only_fallback(monkeypatch):
   """On an axon-only process (the plugin registers no CPU PJRT client —
   observed in the wild: jax.local_devices(backend='cpu') raises
-  RuntimeError), _synthetic_array must fall back to the TF host resize
-  and produce data statistically identical to the jax path."""
+  RuntimeError), _synthetic_array must fall back to the pure-numpy host
+  resize (no TF dependency) and produce data statistically identical to
+  the jax path."""
   from soft_truncation_tpu.data import datasets as D
 
   config = default_config("cifar10")
   config.data.image_size = 16
   ref = D._synthetic_array(config, "test")
 
-  def no_cpu(*_, **kw):
+  orig_local_devices = jax.local_devices
+
+  def no_cpu(*args, **kw):
     if kw.get("backend") == "cpu":
       raise RuntimeError("Unknown backend cpu. Available backends: axon")
-    return jax.local_devices()
+    return orig_local_devices(*args, **kw)
 
   monkeypatch.setattr(D.jax, "local_devices", no_cpu)
   fb = D._synthetic_array(config, "test")

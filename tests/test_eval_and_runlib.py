@@ -34,6 +34,19 @@ def test_frechet_distance_rank_deficient_does_not_raise():
   assert np.isfinite(fid) and fid > 0
 
 
+def test_frechet_distance_nonfinite_raises():
+  """Degenerate inputs whose sqrtm stays non-finite after the
+  eps-regularized retry must fail LOUD (ValueError), never return a
+  silent NaN/inf FID at the end of a long eval run (reference fail-loud
+  behavior: cleanfid/fid.py:66-71)."""
+  d = 16
+  mu = np.zeros(d)
+  bad = np.eye(d)
+  bad[0, 0] = np.nan  # non-finite covariance: no retry can fix this
+  with pytest.raises(ValueError):
+    frechet_distance(mu, bad, mu, np.eye(d))
+
+
 def test_frechet_distance_known_value():
   """For isotropic Gaussians: FID = |mu1-mu2|^2 + D(s1 + s2 - 2 sqrt(s1 s2))."""
   d = 8

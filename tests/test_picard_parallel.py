@@ -195,6 +195,27 @@ def test_nfe_accounting_and_tol_monotonicity():
   assert devs[1e-3] < 1e-2  # loose tol degrades gracefully
 
 
+@pytest.mark.parametrize("corrector", ["none", "langevin"])
+def test_quality_at_shipped_default_tol(corrector):
+  """The SHIPPED defaults (configs/base.py picard_window / picard_tol,
+  read from the config rather than hardcoded) must keep Picard samples
+  near the sequential trajectory — the round-3 pathology was defaults
+  (absolute tol, window 64) that produced diverged samples. The relative
+  tol=1e-3 default means 'converged when the remaining change per sweep
+  is 0.1% of the state's own scale'."""
+  seq = _config(corrector=corrector, num_scales=16)
+  want, _ = _run(seq)
+  scale = float(np.sqrt(np.mean(want ** 2))) or 1.0
+
+  cfg = _config(corrector=corrector, num_scales=16)
+  cfg.sampling.method = "picard"  # defaults: window/tol from base config
+  assert cfg.sampling.picard_tol > 0  # shipped default is NOT exact mode
+  got, nfe = _run(cfg)
+  rel = float(np.sqrt(np.mean((got - want) ** 2))) / scale
+  assert rel < 1e-2, rel
+  assert nfe > 0
+
+
 def test_shapes_finite_and_in_range():
   cfg = _config(picard_window=4, picard_tol=1e-3)
   cfg.sampling.method = "picard"

@@ -58,8 +58,11 @@ def _run_train_step(config, mesh, spatial=False):
   bs = batch_sharding(mesh, spatial=spatial)
   jitted = jax.jit(step_fn, in_shardings=(rs, bs, rs),
                    out_shardings=(rs, rs))
+  size = config.data.image_size
   batch = jax.device_put(
-      jax.random.uniform(jax.random.PRNGKey(1), (16, 8, 8, 3)) * 2 - 1, bs)
+      jax.random.uniform(jax.random.PRNGKey(1),
+                         (config.training.batch_size, size, size, 3))
+      * 2 - 1, bs)
   state = jax.device_put(state, rs)
   state, losses = jitted(state, batch, jax.random.PRNGKey(2))
   return (jax.tree.map(np.asarray, state.params), np.asarray(losses))
@@ -84,6 +87,29 @@ def test_train_step_1_vs_8_devices():
 
 def test_train_step_1_vs_2d_mesh():
   config = _tiny_train_config()
+  params1, losses1 = _run_train_step(config, make_mesh(
+      devices=jax.devices()[:1]))
+  params2d, losses2d = _run_train_step(
+      config, make_mesh(mesh_shape=(4, 2)), spatial=True)
+
+  np.testing.assert_allclose(losses1, losses2d, rtol=1e-5, atol=1e-6)
+  assert _max_param_diff(params1, params2d) < 1e-5
+
+
+def test_train_step_1_vs_2d_mesh_64px():
+  """Spatial sharding validated ABOVE toy resolution: at 64² with the
+  'space' axis of size 2, each device holds 32 image rows, so every 3x3
+  conv (and the 32²-resolution attention block) crosses the shard
+  boundary and GSPMD must insert real halo exchanges / gathers. The 8x8
+  tests above keep halos inside one padding ring; this pins the halo
+  logic where it actually spans blocks."""
+  config = _tiny_train_config()
+  override(config, {
+      "training": dict(batch_size=8),
+      "optim": dict(num_micro_batch=2),
+      "data": dict(image_size=64),
+      "model": dict(attn_resolutions=(32,)),
+  })
   params1, losses1 = _run_train_step(config, make_mesh(
       devices=jax.devices()[:1]))
   params2d, losses2d = _run_train_step(

@@ -211,14 +211,38 @@ def _maybe_trained_params(config, model, state):
   return jax.device_put(restored.ema_params), True, int(restored.step)
 
 
-def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
+def _chaos_probe(sampler, model, params, seq_samples):
+  """Lyapunov probe for the SEQUENTIAL chain: rerun it with the same key
+  but params perturbed by 1e-6 relative. If the final-sample RMS
+  difference is O(sample scale), the chain amplifies ulp-level
+  perturbations to full decorrelation — then rms_vs_sequential measures
+  the CHAIN's chaos, not the parallel sampler's error, and only
+  distributional metrics are meaningful. Returns (chaos_rms,
+  sample_rms)."""
+  import numpy as np
+  perturbed = jax.tree.map(
+      lambda p: p * (1.0 + 1e-6) if p.dtype.kind == "f" else p, params)
+  _, _, _, s2 = _time_sampler(sampler, model, perturbed,
+                              return_samples=True)
+  chaos = float(np.sqrt(np.mean(
+      (np.asarray(s2) - np.asarray(seq_samples)) ** 2)))
+  scale = float(np.sqrt(np.mean(np.asarray(seq_samples) ** 2)))
+  return chaos, scale
+
+
+def run_one_picard(batch: int, window: int = 0, tol: float = 1e-3) -> dict:
   """Parallel-in-time Picard PC (sample/parallel.py, beyond parity): a
   LATENCY play for small batches — batches the time axis (window x batch
-  images per network call) and converges in far fewer sweeps than the
-  window length. Times the sequential PC sampler at the same batch in
-  the same process so the speedup column is a same-process A/B, and
-  reports the RMS deviation of the Picard samples from the sequential
-  trajectory with the same PRNG key (tol=0 would make it exact)."""
+  images per network call). Wins only while window*batch stays under the
+  chip's utilization knee (~batch 16-32 on v5e for CIFAR NCSN++), so the
+  default window is the config default (16), not scaled up. Times the
+  sequential PC sampler at the same batch in the same process (same-
+  process A/B), reports the RMS deviation of the Picard samples from the
+  sequential trajectory with the same PRNG key (tol=0 would make it
+  exact in exact arithmetic), and runs a chaos probe on the sequential
+  chain so that deviation can be read against the chain's own
+  sensitivity (Langevin-corrector chains with weak scores are chaotic:
+  trajectory RMS is then meaningless and the probe proves it)."""
   config = _load_config(batch)
   config.sampling.chunk = 100
   sde, model, state, sampler = _setup(config, batch)
@@ -226,8 +250,9 @@ def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
                                                          state)
   seq_compile_s, seq_dt, seq_nfe, seq_samples = _time_sampler(
       sampler, model, params, return_samples=True)
+  chaos_rms, sample_rms = _chaos_probe(sampler, model, params, seq_samples)
 
-  window = window or max(8, 128 // max(batch, 1))  # W*B ~ 128 images/eval
+  window = window or int(_load_config(batch).sampling.picard_window)
   pcfg = _load_config(batch)
   pcfg.sampling.method = "picard"
   pcfg.sampling.picard_window = window
@@ -242,15 +267,19 @@ def run_one_picard(batch: int, window: int = 0, tol: float = 1e-2) -> dict:
       (np.asarray(psamples) - np.asarray(seq_samples)) ** 2)))
   return _record({
       "sampler": "picard", "N": int(sde.N), "window": window, "tol": tol,
+      "tol_semantics": "relative-to-state-RMS",
+      "latency_play": True,  # fid50k_min_per_chip is meaningless here
       "trained_score": trained, "trained_steps": trained_steps,
       "seq_batch_s": round(seq_dt, 2), "seq_nfe": seq_nfe,
       "latency_speedup_vs_pc": round(seq_dt / dt, 2),
       "rms_vs_sequential": round(rms, 5),
+      "seq_chaos_rms_1e-6_param_perturbation": round(chaos_rms, 5),
+      "seq_sample_rms": round(sample_rms, 5),
   }, compile_s, dt, nfe, batch)
 
 
 def run_one_picard_dpm(batch: int, steps: int = 50,
-                       tol: float = 1e-2) -> dict:
+                       tol: float = 1e-3) -> dict:
   """Parallel-in-time DPM-Solver++(2M) latency A/B vs the sequential
   solver (same process, same trained-or-random params; deterministic
   chain, so rms_vs_sequential at tol=0 is pure fp reordering)."""
@@ -277,6 +306,8 @@ def run_one_picard_dpm(batch: int, steps: int = 50,
       (np.asarray(psamples) - np.asarray(seq_samples)) ** 2)))
   return _record({
       "sampler": "picard_dpm", "steps": steps, "tol": tol,
+      "tol_semantics": "relative-to-state-RMS",
+      "latency_play": True,  # fid50k_min_per_chip is meaningless here
       "trained_score": trained, "trained_steps": trained_steps,
       "seq_batch_s": round(seq_dt, 2), "seq_nfe": seq_nfe,
       "latency_speedup_vs_dpm": round(seq_dt / dt, 2),
@@ -290,13 +321,20 @@ def main():
   dpm = "--dpm" in args
   picard = "--picard" in args
   picard_dpm = "--picard-dpm" in args
+  window = next((int(a.split("=", 1)[1]) for a in args
+                 if a.startswith("--window=")), 0)
+  tol = next((float(a.split("=", 1)[1]) for a in args
+              if a.startswith("--tol=")), 1e-3)
   args = [a for a in args if not a.startswith("--")]
   batches = [int(a) for a in args] if args else (
       [1, 4, 16] if (picard or picard_dpm) else
       [64, 128, 256] if (ode or dpm) else [256, 512, 1024])
-  fn = (run_one_picard_dpm if picard_dpm else
-        run_one_picard if picard else
-        run_one_dpm if dpm else (run_one_ode if ode else run_one))
+  if picard:
+    fn = lambda b: run_one_picard(b, window=window, tol=tol)
+  elif picard_dpm:
+    fn = lambda b: run_one_picard_dpm(b, tol=tol)
+  else:
+    fn = run_one_dpm if dpm else (run_one_ode if ode else run_one)
   recs = [fn(b) for b in batches]
   out = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "benchmarks", "sampling.jsonl")

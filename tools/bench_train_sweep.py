@@ -32,7 +32,8 @@ V5E_PEAK_HBM = 819e9
 
 
 def run_one(batch: int, remat: str, fir: bool, config_name: str,
-            state_dtype: str = "f32") -> dict:
+            state_dtype: str = "f32", rng: str = "unsafe_rbg",
+            dropout_bits: int = 32) -> dict:
   if fir:
     os.environ["SOFT_TRUNCATION_PALLAS_FIR"] = "1"
   from soft_truncation_tpu.losses import get_optimizer
@@ -68,7 +69,13 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str,
   elif state_dtype == "bf16_mu":
     # the numerically-safe subset (bf16 EMA fails parity — test_byte_diet)
     config.tpu.adam_mu_dtype = "bfloat16"
-  jax.config.update("jax_default_prng_impl", "unsafe_rbg")
+  # rng=threefry2x32 measures the bit-reproducible path (the CLI default);
+  # dropout_bits=16/8 packs mask lanes (models/dropout.py) to attack the
+  # measured ~25% threefry dropout tax
+  config.tpu.dropout_bits = dropout_bits
+  jax.config.update("jax_default_prng_impl", rng)
+  if rng == "threefry2x32":
+    jax.config.update("jax_threefry_partitionable", True)
 
   sde = get_sde(config)
   model = create_model(config)
@@ -107,7 +114,8 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str,
   step_s = dt / iters
   rec = {
       "config": config_name, "batch": batch, "remat": remat,
-      "state_dtype": state_dtype,
+      "state_dtype": state_dtype, "rng_impl": rng,
+      "dropout_bits": dropout_bits,
       "pallas_fir": fir,
       "step_ms": round(step_s * 1000, 2),
       "imgs_per_sec": round(batch * iters / dt, 1),
@@ -127,7 +135,9 @@ def main():
             if not a.startswith("--"))
   rec = run_one(int(kv.get("batch", 128)), kv.get("remat", "none"),
                 kv.get("fir", "0") == "1", kv.get("config", "flagship"),
-                kv.get("state_dtype", "f32"))
+                kv.get("state_dtype", "f32"),
+                kv.get("rng", "unsafe_rbg"),
+                int(kv.get("dropout_bits", 32)))
   out = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "benchmarks", "train_sweep.jsonl")
   os.makedirs(os.path.dirname(out), exist_ok=True)

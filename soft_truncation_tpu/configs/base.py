@@ -163,6 +163,13 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # sampling / -5% DPM sampling per eval (forward-only pays no
       # backward penalty) — worth enabling for sampling-only workloads.
       norm_dtype="float32",
+      # FID featurization resize: 'host' = cleanfid PIL bicubic, bit
+      # parity with the reference; 'device' = jax cubic inside the jitted
+      # extractor (same Keys bicubic for upscaling, measured max 4.7e-4
+      # deviation on [0,255]; 350x less host->device transfer; falls back
+      # to host for >=299px inputs). A 1-core host makes 'host' the 50k
+      # featurize bottleneck (~20 ms/img measured).
+      fid_resize="host",
       # persistent XLA compilation cache: big sampler/high-res programs
       # take minutes to compile (3-25 min at 256^2+); with a cache dir the
       # second run of the same program loads in seconds. '' disables.

@@ -97,29 +97,63 @@ class DummyFeatureExtractor(FeatureExtractor):
 
 
 class FlaxInceptionExtractor(FeatureExtractor):
-  """On-device InceptionV3 (pytorch-FID weights) — pool3 features + logits."""
+  """On-device InceptionV3 (pytorch-FID weights) — pool3 features + logits.
+
+  resize_mode:
+    'host'   — cleanfid's PIL bicubic per-channel float32 resize
+               (bit-parity with the reference, cleanfid/resize.py:20-53)
+               run on the host. On a 1-core host this costs ~20 ms/img
+               (measured) — it GATES 50k-scale featurization.
+    'device' — jax.image.resize 'cubic' inside the jitted program, fed
+               raw uint8 (350x less tunnel transfer than f32 299²).
+               For UPSCALING both are the same Keys a=-0.5 bicubic at
+               half-pixel coords: measured max |delta| 4.7e-4 on the
+               [0,255] range vs PIL (tests/test_inception_parity.py) —
+               far below FID sensitivity. Auto-falls back to 'host' for
+               inputs >= 299 px, where PIL's downscale antialiasing has
+               no exact jax twin.
+  """
 
   name = "flax"
 
-  def __init__(self, weights_path: str, batch_size: int = 128):
+  def __init__(self, weights_path: str, batch_size: int = 128,
+               resize_mode: str = "host"):
     from .inception_v3 import InceptionV3, load_params_npz
+    assert resize_mode in ("host", "device")
     self.model = InceptionV3()
     self.params = load_params_npz(weights_path)
     self.batch_size = batch_size
+    self.resize_mode = resize_mode
+    s = INCEPTION_DEFAULT_IMAGE_SIZE
 
     @jax.jit
     def _run(x):
       return self.model.apply({"params": self.params}, x)
 
+    @jax.jit
+    def _run_uint8(x_u8):
+      x = x_u8.astype(jnp.float32)
+      n, _, _, c = x.shape
+      x = jax.image.resize(x, (n, s, s, c), "cubic")
+      return self.model.apply({"params": self.params}, x)
+
     self._run = _run
+    self._run_uint8 = _run_uint8
 
   def __call__(self, images_uint8: np.ndarray):
     # cleanfid pipeline: clean-resize raw-range floats, then the network
     # normalizes internally (cleanfid/features.py InceptionV3W semantics)
-    resized = clean_resize(images_uint8, INCEPTION_DEFAULT_IMAGE_SIZE)
+    device = (self.resize_mode == "device"
+              and images_uint8.shape[1] < INCEPTION_DEFAULT_IMAGE_SIZE
+              and images_uint8.shape[2] < INCEPTION_DEFAULT_IMAGE_SIZE)
     feats, probs = [], []
-    for i in range(0, len(resized), self.batch_size):
-      f, p = self._run(jnp.asarray(resized[i:i + self.batch_size]))
+    for i in range(0, len(images_uint8), self.batch_size):
+      chunk = images_uint8[i:i + self.batch_size]
+      if device:
+        f, p = self._run_uint8(jnp.asarray(chunk))
+      else:
+        f, p = self._run(jnp.asarray(
+            clean_resize(chunk, INCEPTION_DEFAULT_IMAGE_SIZE)))
       feats.append(np.asarray(f))
       probs.append(np.asarray(p))
     return np.concatenate(feats), np.concatenate(probs)
@@ -190,7 +224,10 @@ def get_feature_extractor(config, assetdir: Optional[str] = None,
     weights = os.path.join(assetdir, "inception_v3_weights.npz")
     if os.path.exists(weights):
       try:
-        return FlaxInceptionExtractor(weights)
+        tpu_cfg = config.get("tpu") if hasattr(config, "get") else None
+        mode = (tpu_cfg.get("fid_resize", "host")
+                if tpu_cfg is not None else "host")
+        return FlaxInceptionExtractor(weights, resize_mode=mode)
       except Exception as e:  # pragma: no cover
         log.warning("flax inception unavailable: %s", e)
   if _tfhub_module_cached():  # pragma: no cover - needs cached modules

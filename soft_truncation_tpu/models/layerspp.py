@@ -7,6 +7,7 @@ conv) instead of the reference's CUDA upfirdn2d kernel.
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -25,6 +26,60 @@ Dtype = Any
 
 def _groups(ch: int) -> int:
   return min(ch // 4, 32)
+
+
+# Fused GroupNorm+SiLU+conv3x3 Pallas kernel (ops/pallas/gn_conv.py) for
+# the res-blocks' norm->act->conv sites — removes the normalized-slab HBM
+# write+read. FORWARD ONLY (no VJP): applied only when train=False, so
+# training numerics are untouched. Off by default pending the in-graph
+# A/B (benchmarks/ROOFLINE.md); SOFT_TRUNCATION_PALLAS_GNCONV=1 opts in.
+_PALLAS_GN_CONV = os.environ.get("SOFT_TRUNCATION_PALLAS_GNCONV", "0") == "1"
+# f32 VMEM budget guard per kernel instance (whole-image blocks)
+_GN_CONV_MAX_HWC = 32 * 32 * 512
+
+
+class _ParamsOnly(nn.Module):
+  """Declares params with given names/shapes/inits and returns them —
+  used by the fused path to create the SAME param tree (names, shapes,
+  inits) as the nn.GroupNorm / nn.Conv module path, so checkpoints are
+  interchangeable whichever path traced first."""
+
+  defs: Tuple[Tuple[str, Tuple[int, ...], Callable], ...]
+
+  @nn.compact
+  def __call__(self):
+    return {name: self.param(name, init, shape)
+            for name, shape, init in self.defs}
+
+
+def _gn_conv_eligible(module, h: Array, out_ch: int, train: bool) -> bool:
+  c = h.shape[-1]
+  return (_PALLAS_GN_CONV and not train
+          and module.act is jax.nn.silu
+          and c % 4 == 0 and c % _groups(c) == 0
+          and h.shape[1] * h.shape[2] * max(c, out_ch) <= _GN_CONV_MAX_HWC)
+
+
+def _fused_gn_silu_conv(module, h: Array, out_ch: int, gn_name: str,
+                        conv_name: str, init_scale: float = 1.0) -> Array:
+  """norm->SiLU->conv3x3 via the fused Pallas kernel, with params
+  declared under the exact names the module path uses."""
+  from ..ops.pallas.gn_conv import gn_silu_conv3x3, gn_stats
+  c = h.shape[-1]
+  gn_p = _ParamsOnly(defs=(("scale", (c,), nn.initializers.ones),
+                           ("bias", (c,), nn.initializers.zeros)),
+                     name=gn_name)()
+  conv_p = _ParamsOnly(
+      defs=(("kernel", (3, 3, c, out_ch), default_init(init_scale)),
+            ("bias", (out_ch,), nn.initializers.zeros)),
+      name=conv_name)()
+  g = _groups(c)
+  mean, rsqrt = gn_stats(h, g, eps=1e-6)
+  out = gn_silu_conv3x3(h.astype(module.dtype), mean, rsqrt,
+                        gn_p["scale"], gn_p["bias"],
+                        conv_p["kernel"].astype(module.dtype),
+                        conv_p["bias"].astype(module.dtype), g)
+  return _conv_out(out)
 
 
 def _conv_out(h: Array) -> Array:
@@ -226,19 +281,26 @@ class ResnetBlockDDPMpp(nn.Module):
                train: bool = True) -> Array:
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
-    h = self.act(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6,
-                              dtype=self.norm_dtype, name="norm0")(x))
-    h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="conv0")(h))
+    if _gn_conv_eligible(self, x, out_ch, train):
+      h = _fused_gn_silu_conv(self, x, out_ch, "norm0", "conv0")
+    else:
+      h = self.act(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6,
+                                dtype=self.norm_dtype, name="norm0")(x))
+      h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="conv0")(h))
     if temb is not None:
       h = h + nn.Dense(out_ch, kernel_init=default_init(),
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
                        name="temb_proj")(self.act(temb))[:, None, None, :]
-    h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
-                              dtype=self.norm_dtype, name="norm1")(h))
-    h = Dropout(self.dropout, deterministic=not train,
-                bits=self.dropout_bits)(h)
-    h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
-                             dtype=self.dtype, name="conv1")(h))
+    if _gn_conv_eligible(self, h, out_ch, train):
+      h = _fused_gn_silu_conv(self, h, out_ch, "norm1", "conv1",
+                              init_scale=self.init_scale)
+    else:
+      h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
+                                dtype=self.norm_dtype, name="norm1")(h))
+      h = Dropout(self.dropout, deterministic=not train,
+                  bits=self.dropout_bits)(h)
+      h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
+                               dtype=self.dtype, name="conv1")(h))
     if in_ch != out_ch:
       if self.conv_shortcut:
         x = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="shortcut")(x))
@@ -271,8 +333,14 @@ class ResnetBlockBigGANpp(nn.Module):
                train: bool = True) -> Array:
     in_ch = x.shape[-1]
     out_ch = self.out_ch or in_ch
-    h = self.act(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6,
-                              dtype=self.norm_dtype, name="norm0")(x))
+    # fused norm0->SiLU->conv0 only when no resampling sits between them
+    fuse0 = (not self.up and not self.down
+             and _gn_conv_eligible(self, x, out_ch, train))
+    if fuse0:
+      h = _fused_gn_silu_conv(self, x, out_ch, "norm0", "conv0")
+    else:
+      h = self.act(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6,
+                                dtype=self.norm_dtype, name="norm0")(x))
 
     if self.up:
       if self.fir:
@@ -289,17 +357,24 @@ class ResnetBlockBigGANpp(nn.Module):
         h = naive_downsample_2d(h, factor=2)
         x = naive_downsample_2d(x, factor=2)
 
-    h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="conv0")(h))
+    if not fuse0:
+      h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="conv0")(h))
     if temb is not None:
       h = h + nn.Dense(out_ch, kernel_init=default_init(),
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
                        name="temb_proj")(self.act(temb))[:, None, None, :]
-    h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
-                              dtype=self.norm_dtype, name="norm1")(h))
-    h = Dropout(self.dropout, deterministic=not train,
-                bits=self.dropout_bits)(h)
-    h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
-                             dtype=self.dtype, name="conv1")(h))
+    # fused norm1->SiLU->conv1: dropout is inactive in the train=False
+    # regime the fused path is gated to, so the chain is contiguous
+    if _gn_conv_eligible(self, h, out_ch, train):
+      h = _fused_gn_silu_conv(self, h, out_ch, "norm1", "conv1",
+                              init_scale=self.init_scale)
+    else:
+      h = self.act(nn.GroupNorm(num_groups=_groups(out_ch), epsilon=1e-6,
+                                dtype=self.norm_dtype, name="norm1")(h))
+      h = Dropout(self.dropout, deterministic=not train,
+                  bits=self.dropout_bits)(h)
+      h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
+                               dtype=self.dtype, name="conv1")(h))
 
     if in_ch != out_ch or self.up or self.down:
       x = _conv_out(DDPMConv(out_ch, 1, dtype=self.dtype, name="shortcut")(x))

@@ -188,9 +188,13 @@ def train(config, workdir, assetdir=None):
                          // config.training.snapshot_freq)
 
     if snap_step is not None and config.eval.enable_bpd:
+      # report_dir makes the in-training bpd curve machine-readable
+      # (workdir/bpd/bpd_<step>.npz) — the reference only logged these
+      # (its save.py npz writes were dead code, see evaluation.py header)
       evaluation.compute_bpd(config, eval_ds, scaler, inverse_scaler,
                              nelbo_fn, nll_fn, model, state.ema_params,
-                             step=snap_step)
+                             step=snap_step,
+                             report_dir=os.path.join(workdir, "bpd"))
 
     if (snap_step is not None or last == n_iters
         or config.training.get("whatever_sampling", False)):

@@ -1,0 +1,116 @@
+"""Fused GroupNorm+SiLU+conv3x3 Pallas kernel (ops/pallas/gn_conv.py):
+parity against the XLA chain it is designed to replace, in interpret
+mode on the CPU mesh (the real-chip A/B lives in
+tools/bench_gn_conv.py -> benchmarks/ROOFLINE.md)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from soft_truncation_tpu.ops.pallas.gn_conv import (
+    gn_silu_conv3x3, gn_silu_conv3x3_reference, gn_stats)
+
+
+def _case(n=2, h=8, w=8, c=16, o=16, groups=4, dtype=jnp.float32, seed=0):
+  ks = jax.random.split(jax.random.PRNGKey(seed), 5)
+  x = jax.random.normal(ks[0], (n, h, w, c), dtype) * 2.0
+  gamma = jax.random.normal(ks[1], (c,), jnp.float32) * 0.2 + 1.0
+  beta = jax.random.normal(ks[2], (c,), jnp.float32) * 0.1
+  wgt = (jax.random.normal(ks[3], (3, 3, c, o), jnp.float32)
+         / np.sqrt(9 * c)).astype(dtype)
+  b = jax.random.normal(ks[4], (o,), jnp.float32).astype(dtype)
+  return x, gamma, beta, wgt, b, groups
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_fused_matches_xla_chain(dtype):
+  x, gamma, beta, w, b, groups = _case(dtype=dtype)
+  want = gn_silu_conv3x3_reference(x, gamma, beta, w, b, groups)
+  mean, rsqrt = gn_stats(x, groups)
+  with pltpu.force_tpu_interpret_mode():
+    got = gn_silu_conv3x3(x, mean, rsqrt, gamma, beta, w, b, groups)
+  tol = 1e-5 if dtype == jnp.float32 else 3e-2
+  np.testing.assert_allclose(np.asarray(got, np.float32),
+                             np.asarray(want, np.float32),
+                             rtol=tol, atol=tol)
+
+
+def test_fused_hot_shape_slice():
+  """A thin slice of the production hot shape (128x32^2x128 -> 128):
+  batch cut to 2 so interpret mode stays fast; channel/spatial dims and
+  group count (32) are the real ones."""
+  x, gamma, beta, w, b, groups = _case(n=2, h=32, w=32, c=128, o=128,
+                                       groups=32, dtype=jnp.float32,
+                                       seed=1)
+  want = gn_silu_conv3x3_reference(x, gamma, beta, w, b, groups)
+  mean, rsqrt = gn_stats(x, groups)
+  with pltpu.force_tpu_interpret_mode():
+    got = gn_silu_conv3x3(x, mean, rsqrt, gamma, beta, w, b, groups)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-5, atol=2e-5)
+
+
+def test_ncsnpp_forward_parity_with_fused_path(monkeypatch):
+  """With SOFT_TRUNCATION_PALLAS_GNCONV on, the NCSN++ eval forward must
+  match the XLA path on the same params (fused path declares the same
+  param tree under the same names), and training mode must be untouched
+  (forward-only kernel)."""
+  from soft_truncation_tpu.configs.base import default_config, override
+  from soft_truncation_tpu.models import create_model
+  from soft_truncation_tpu.models import layerspp
+
+  config = default_config("cifar10")
+  override(config, {
+      "data": dict(image_size=8),
+      "model": dict(
+          name="ncsnpp", scale_by_sigma=False, ema_rate=0.999,
+          normalization="GroupNorm", nonlinearity="swish", nf=8,
+          ch_mult=(1, 2), num_res_blocks=1, attn_resolutions=(4,),
+          resamp_with_conv=True, conditional=True, fir=False,
+          fir_kernel=[1, 3, 3, 1], skip_rescale=True,
+          resblock_type="biggan", progressive="none",
+          progressive_input="none", progressive_combine="sum",
+          init_scale=0.1, embedding_type="fourier", fourier_scale=16),
+  })
+  model = create_model(config)
+  x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
+  t = jnp.full((2,), 1.0)
+  params = model.init({"params": jax.random.PRNGKey(1)}, x, t,
+                      train=False)["params"]
+  want = model.apply({"params": params}, x, t, train=False)
+
+  monkeypatch.setattr(layerspp, "_PALLAS_GN_CONV", True)
+  with pltpu.force_tpu_interpret_mode():
+    got = model.apply({"params": params}, x, t, train=False)
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-5, atol=2e-5)
+
+  # params initialized UNDER the flag must have the identical tree
+  with pltpu.force_tpu_interpret_mode():
+    params_fused = model.init({"params": jax.random.PRNGKey(1)}, x, t,
+                              train=False)["params"]
+  assert (jax.tree_util.tree_structure(params_fused)
+          == jax.tree_util.tree_structure(params))
+  for a, b in zip(jax.tree.leaves(params_fused), jax.tree.leaves(params)):
+    assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_gn_stats_match_flax_groupnorm():
+  """gn_stats + affine apply == flax nn.GroupNorm (the model's norm)."""
+  import flax.linen as nn
+  x, gamma, beta, _, _, groups = _case(c=16, groups=4)
+  mean, rsqrt = gn_stats(x, groups, eps=1e-6)
+  cg = x.shape[-1] // groups
+  mean_c = jnp.repeat(mean, cg, axis=1)[:, None, None, :]
+  rs_c = jnp.repeat(rsqrt, cg, axis=1)[:, None, None, :]
+  ours = (x - mean_c) * rs_c * gamma + beta
+
+  gn = nn.GroupNorm(num_groups=groups, epsilon=1e-6)
+  params = {"scale": gamma, "bias": beta}
+  want = gn.apply({"params": params}, x)
+  np.testing.assert_allclose(np.asarray(ours), np.asarray(want),
+                             rtol=1e-5, atol=1e-5)

@@ -158,3 +158,49 @@ def test_converter_skips_aux_and_covers_all_params(oracle):
   assert init_paths == got_paths, (
       f"missing={sorted(init_paths - got_paths)[:6]} "
       f"extra={sorted(got_paths - init_paths)[:6]}")
+
+
+def test_device_resize_matches_pil_clean_resize_upscale():
+  """The 'device' resize mode (jax.image.resize 'cubic') must match
+  cleanfid's PIL bicubic per-channel float32 resize for UPSCALING —
+  both are Keys a=-0.5 bicubic at half-pixel coordinates. Tolerance is
+  absolute on the raw [0,255] range; 1e-3 is ~4e-6 relative, far below
+  FID sensitivity. (Downscaling >= 299px falls back to the host path —
+  PIL's antialiased reduction has no exact jax twin.)"""
+  import jax
+  import jax.numpy as jnp
+  import numpy as np
+  from soft_truncation_tpu.eval.inception import clean_resize
+
+  rng = np.random.RandomState(0)
+  imgs = rng.randint(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+  want = clean_resize(imgs, 299)
+  got = np.asarray(jax.image.resize(
+      jnp.asarray(imgs, jnp.float32), (4, 299, 299, 3), "cubic"))
+  np.testing.assert_allclose(got, want, atol=1e-3)
+
+
+def test_flax_extractor_device_resize_features_close():
+  """End-to-end: FlaxInceptionExtractor(resize_mode='device') features
+  must match the host-PIL path through a REAL random-init InceptionV3 —
+  the resize deviation must not amplify through the network."""
+  import os
+
+  import numpy as np
+  import pytest
+
+  weights = "workdirs/assets/inception_v3_weights.npz"
+  if not os.path.exists(weights):
+    pytest.skip("random-init inception npz not generated "
+                "(tools/make_random_inception_npz.py)")
+  from soft_truncation_tpu.eval.inception import FlaxInceptionExtractor
+
+  rng = np.random.RandomState(1)
+  imgs = rng.randint(0, 256, (8, 32, 32, 3)).astype(np.uint8)
+  host = FlaxInceptionExtractor(weights, resize_mode="host")
+  dev = FlaxInceptionExtractor(weights, resize_mode="device")
+  fh, ph = host(imgs)
+  fd, pd = dev(imgs)
+  scale = np.abs(fh).mean()
+  assert np.abs(fh - fd).max() < 1e-2 * max(scale, 1e-6)
+  np.testing.assert_allclose(ph, pd, atol=1e-4)

@@ -156,8 +156,12 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # exact nn.Dropout parity; 16/8 pack 2/4 mask lanes per threefry
       # word — same determinism and sharding invariance as 32, keep-rate
       # quantized to 1/2^bits (at 8: rate 0.1 -> 26/256 ~ 0.1016).
-      # Measured A/B + keep/revert decision in benchmarks/ROOFLINE.md.
-      dropout_bits=32,
+      # DEFAULT 8: measured same-session on a v5e (flagship, batch 128,
+      # threefry) 1,877 imgs/s vs 1,551 at bits=32 (+21%) — recovers 73%
+      # of the reproducible-PRNG tax (unsafe_rbg ceiling 1,996); the
+      # step returns to HBM-bound (hbm_frac 0.96 vs 0.66). Set 32 for
+      # masks bit-identical to flax.linen.Dropout.
+      dropout_bits=8,
       # 'bfloat16' runs GroupNorm statistics in bf16 too. Measured on a
       # v5e: +9% TRAIN step time (keep f32 for training), but -9% PC
       # sampling / -5% DPM sampling per eval (forward-only pays no

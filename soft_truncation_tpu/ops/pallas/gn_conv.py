@@ -40,23 +40,22 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(x_ref, mean_ref, rsqrt_ref, gamma_ref, beta_ref, w_ref, b_ref,
-            out_ref, *, groups: int, acc_dtype):
-  """One image: out = conv3x3(silu(gn_apply(x)), SAME) + b."""
+def _kernel(x_ref, scale_ref, shift_ref, w_ref, b_ref,
+            out_ref, *, acc_dtype):
+  """One image: out = conv3x3(silu(x*scale + shift), SAME) + b.
+
+  scale/shift are the GroupNorm affine folded per (sample, channel) by
+  the wrapper (scale = rsqrt*gamma, shift = beta - mean*scale): passing
+  them pre-broadcast as [N, 1, C] keeps every BlockSpec's trailing two
+  dims full-array — the Mosaic lowering requires trailing block dims
+  divisible by (8, 128) OR equal to the array dims, which a [N, G]
+  per-group layout with a (1, G) block violates (observed on-chip;
+  interpret mode does not check it)."""
   h, w, c = x_ref.shape[1], x_ref.shape[2], x_ref.shape[3]
   o = w_ref.shape[-1]
-  cg = c // groups
 
   x = x_ref[0].astype(jnp.float32)                       # [H, W, C]
-  # per-group affine, broadcast to channels: scale = rsqrt*gamma,
-  # shift = beta - mean*rsqrt*gamma (one FMA per element)
-  mean = mean_ref[0]                                      # [G]
-  rs = rsqrt_ref[0]                                       # [G]
-  mean_c = jnp.repeat(mean.reshape(groups, 1), cg, axis=1).reshape(c)
-  rs_c = jnp.repeat(rs.reshape(groups, 1), cg, axis=1).reshape(c)
-  scale = rs_c * gamma_ref[:]
-  shift = beta_ref[:] - mean_c * scale
-  n = x * scale[None, None, :] + shift[None, None, :]
+  n = x * scale_ref[0] + shift_ref[0]                    # [H,W,C]*[1,C]
   n = n * jax.nn.sigmoid(n)                               # SiLU
   n = n.astype(w_ref.dtype)
 
@@ -83,7 +82,14 @@ def gn_silu_conv3x3(x: Array, mean: Array, rsqrt: Array, gamma: Array,
   """
   n, h, wd, c = x.shape
   o = w.shape[-1]
-  kern = functools.partial(_kernel, groups=groups, acc_dtype=jnp.float32)
+  # fold the per-(sample, group) stats + per-channel affine into
+  # per-(sample, channel) scale/shift in XLA (tiny elementwise, fused)
+  cg = c // groups
+  scale = (jnp.repeat(rsqrt, cg, axis=1) * gamma[None, :])       # [N, C]
+  shift = beta[None, :] - jnp.repeat(mean, cg, axis=1) * scale   # [N, C]
+  scale = scale.reshape(n, 1, c).astype(jnp.float32)
+  shift = shift.reshape(n, 1, c).astype(jnp.float32)
+  kern = functools.partial(_kernel, acc_dtype=jnp.float32)
   flops = 2 * n * h * wd * c * o * 9
   return pl.pallas_call(
       kern,
@@ -91,12 +97,10 @@ def gn_silu_conv3x3(x: Array, mean: Array, rsqrt: Array, gamma: Array,
       in_specs=[
           pl.BlockSpec((1, h, wd, c), lambda i: (i, 0, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, mean.shape[1]), lambda i: (i, 0),
+          pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((1, rsqrt.shape[1]), lambda i: (i, 0),
+          pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
                        memory_space=pltpu.VMEM),
-          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-          pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
           pl.BlockSpec((3, 3, c, o), lambda i: (0, 0, 0, 0),
                        memory_space=pltpu.VMEM),
           pl.BlockSpec((o,), lambda i: (0,), memory_space=pltpu.VMEM),
@@ -110,7 +114,7 @@ def gn_silu_conv3x3(x: Array, mean: Array, rsqrt: Array, gamma: Array,
           + n * h * wd * o * x.dtype.itemsize + w.size * w.dtype.itemsize,
           transcendentals=n * h * wd * c,
       ),
-  )(x, mean, rsqrt, gamma, beta, w, b)
+  )(x, scale, shift, w, b)
 
 
 def gn_stats(x: Array, groups: int = 32, eps: float = 1e-6):

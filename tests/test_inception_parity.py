@@ -204,3 +204,44 @@ def test_flax_extractor_device_resize_features_close():
   scale = np.abs(fh).mean()
   assert np.abs(fh - fd).max() < 1e-2 * max(scale, 1e-6)
   np.testing.assert_allclose(ph, pd, atol=1e-4)
+
+
+def test_he_rescale_scales_only_convs():
+  """tools/make_random_inception_npz.he_rescale must scale 4-D conv
+  kernels by the gain and leave BN scales/offsets/fc untouched."""
+  from make_random_inception_npz import he_rescale
+
+  flat = {"conv/kernel": np.ones((3, 3, 2, 4), np.float32),
+          "bn/scale": np.ones((4,), np.float32),
+          "fc/kernel": np.ones((8, 2), np.float32)}
+  out = he_rescale(flat, 2.0)
+  np.testing.assert_array_equal(out["conv/kernel"], 2.0)
+  np.testing.assert_array_equal(out["bn/scale"], 1.0)
+  np.testing.assert_array_equal(out["fc/kernel"], 1.0)
+
+
+def test_random_npz_features_nondegenerate():
+  """The shipped random-init npz must produce order-1 pool_3 features.
+
+  Regression for the round-4 metric-curve failure: flax-default
+  LeCun-init conv kernels lose ~half the activation variance at every
+  conv+ReLU, so through InceptionV3's ~48-deep stack pool_3 collapsed
+  to ~2e-4 std — FID sat at numerical noise (~1.6e-4) and IS at exactly
+  1.0 for every training snapshot, i.e. the metric could not
+  discriminate. He gain (conv kernels ×√2, now the generator default)
+  restores std ≈ 0.3 (tools/probe_random_fid.py measurements)."""
+  weights = "workdirs/assets/inception_v3_weights.npz"
+  if not os.path.exists(weights):
+    pytest.skip("random-init inception npz not generated "
+                "(tools/make_random_inception_npz.py)")
+  from soft_truncation_tpu.eval.inception import FlaxInceptionExtractor
+
+  rng = np.random.RandomState(2)
+  imgs = rng.randint(0, 256, (4, 32, 32, 3)).astype(np.uint8)
+  ext = FlaxInceptionExtractor(weights, batch_size=4, resize_mode="device")
+  feats, probs = ext(imgs)
+  assert feats.std() > 1e-2, (
+      f"pool_3 features degenerate (std {feats.std():.2e}): the npz was "
+      "likely generated without He gain — regenerate with "
+      "tools/make_random_inception_npz.py")
+  assert probs.std() > 1e-6  # logits must not be exactly uniform either

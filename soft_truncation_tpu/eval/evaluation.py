@@ -72,10 +72,17 @@ def load_dataset_stats(config, assetdir: str, mode: str = "clean"):
 def compute_dataset_stats(config, ds, extractor, num_data: int,
                           cache_path: Optional[str] = None):
   """Stream the real dataset through the extractor -> (mu, sigma), cached
-  (cleanfid/fid.py:276-311 equivalent)."""
+  (cleanfid/fid.py:276-311 equivalent). The cache is keyed by the
+  extractor's content fingerprint (see sampling_io.get_latents): stats
+  computed under different weights are recomputed, not reused."""
+  fp = getattr(extractor, "fingerprint", None)
   if cache_path and os.path.exists(cache_path):
     with np.load(cache_path) as f:
-      return f["mu"], f["cov"]
+      cached_fp = str(f["fingerprint"]) if "fingerprint" in f.files else None
+      if cached_fp is None or fp is None or cached_fp == fp:
+        return f["mu"], f["cov"]
+    log.info("real-stats cache %s was computed under extractor %s != %s — "
+             "recomputing", cache_path, cached_fp, fp)
   feats = []
   seen = 0
   for batch in ds.as_numpy_iterator():
@@ -88,7 +95,8 @@ def compute_dataset_stats(config, ds, extractor, num_data: int,
   feats = np.concatenate(feats)[:num_data]
   mu, cov = compute_stats(feats)
   if cache_path:
-    np.savez_compressed(cache_path, mu=mu, cov=cov)
+    np.savez_compressed(cache_path, mu=mu, cov=cov,
+                        **({"fingerprint": fp} if fp else {}))
   return mu, cov
 
 

@@ -56,10 +56,18 @@ def clean_resize(images: np.ndarray, size: int = 299) -> np.ndarray:
 
 
 class FeatureExtractor:
-  """Maps uint8 images [N,H,W,C] -> (features [N,D], probs [N,K] | None)."""
+  """Maps uint8 images [N,H,W,C] -> (features [N,D], probs [N,K] | None).
+
+  ``fingerprint`` identifies the exact feature map (backend AND weights):
+  cached per-shard feature npz files are keyed by it so swapping the
+  Inception weights (e.g. regenerating the random-init npz) invalidates
+  stale caches instead of silently mixing old sample features with new
+  real-side statistics (a bug class hit in round 4 — the He-init
+  regeneration left LeCun-era statistics_*.npz behind)."""
 
   name = "base"
   feature_dim = 2048
+  fingerprint = "base"
 
   def __call__(self, images_uint8: np.ndarray):
     raise NotImplementedError
@@ -75,6 +83,7 @@ class DummyFeatureExtractor(FeatureExtractor):
   def __init__(self, feature_dim: int = 16, num_classes: int = 10):
     self.feature_dim = feature_dim
     self.num_classes = num_classes
+    self.fingerprint = f"dummy:{feature_dim}x{num_classes}"
     rng = np.random.RandomState(0)
     self._proj = rng.normal(0, 1, size=(16 * 16 * 3, feature_dim)) \
         .astype(np.float32)
@@ -124,6 +133,14 @@ class FlaxInceptionExtractor(FeatureExtractor):
     self.params = load_params_npz(weights_path)
     self.batch_size = batch_size
     self.resize_mode = resize_mode
+    # weights-content fingerprint (not path/mtime): regenerated npz files
+    # must invalidate per-shard feature caches (~0.2s once per process)
+    import hashlib
+    h = hashlib.md5()
+    with open(weights_path, "rb") as f:
+      for chunk in iter(lambda: f.read(1 << 22), b""):
+        h.update(chunk)
+    self.fingerprint = f"flax:{h.hexdigest()[:12]}"
     s = INCEPTION_DEFAULT_IMAGE_SIZE
 
     @jax.jit
@@ -179,6 +196,7 @@ class TFHubInceptionExtractor(FeatureExtractor):
     self._tf = tf
     self.inceptionv3 = inceptionv3
     self.batch_size = batch_size
+    self.fingerprint = f"tfhub:{'v3' if inceptionv3 else 'tfgan'}"
     self.model = tfhub.load(
         INCEPTION_V3_TFHUB if inceptionv3 else INCEPTION_TFHUB)
 

@@ -116,15 +116,28 @@ def get_latents(config, samples_uint8: np.ndarray, extractor, step: int,
                 sampling_idx: int, sample_dir: str) -> Tuple[np.ndarray,
                                                              np.ndarray]:
   """Inception features for one shard, cached next to the samples
-  (reference sampling_lib.py:59-83)."""
+  (reference sampling_lib.py:59-83).
+
+  Caches are keyed by the extractor's content fingerprint: a cached npz
+  written under DIFFERENT weights (e.g. a regenerated random-init
+  Inception) is recomputed, not returned — stale sample features mixed
+  with fresh real-side statistics produce silently-wrong FID. Legacy
+  caches without a fingerprint are trusted (resumability of pre-existing
+  runs)."""
   dir_name = get_dir_name(config, sample_dir, step)
   stat_path = os.path.join(dir_name, f"statistics_{sampling_idx}.npz")
+  fp = getattr(extractor, "fingerprint", None)
   if os.path.exists(stat_path):
     with np.load(stat_path) as f:
-      return f["pool_3"], (f["logits"] if "logits" in f.files else None)
+      cached_fp = str(f["fingerprint"]) if "fingerprint" in f.files else None
+      if cached_fp is None or fp is None or cached_fp == fp:
+        return f["pool_3"], (f["logits"] if "logits" in f.files else None)
+    log.info("feature cache %s was computed under extractor %s != %s — "
+             "recomputing", stat_path, cached_fp, fp)
   feats, probs = extractor(samples_uint8)
   np.savez_compressed(stat_path, pool_3=feats,
-                      **({"logits": probs} if probs is not None else {}))
+                      **({"logits": probs} if probs is not None else {}),
+                      **({"fingerprint": fp} if fp else {}))
   return feats, probs
 
 

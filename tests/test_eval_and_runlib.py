@@ -120,6 +120,68 @@ def _pipeline_config():
   return config
 
 
+def test_feature_cache_invalidates_on_extractor_change(tmp_path):
+  """Per-shard feature caches are keyed by the extractor fingerprint:
+  swapping Inception weights must recompute, not return stale features
+  (round-4 bug class: regenerated He-init npz + leftover LeCun-era
+  statistics_*.npz silently mixed feature spaces). Legacy caches without
+  a fingerprint stay trusted (resumability of pre-existing runs)."""
+  from soft_truncation_tpu.eval.inception import DummyFeatureExtractor
+  from soft_truncation_tpu.eval.sampling_io import get_dir_name, get_latents
+
+  config = _pipeline_config()
+  rng = np.random.RandomState(0)
+  imgs = rng.randint(0, 256, (4, 8, 8, 3)).astype(np.uint8)
+  ext16 = DummyFeatureExtractor(feature_dim=16)
+  ext8 = DummyFeatureExtractor(feature_dim=8)
+  assert ext16.fingerprint != ext8.fingerprint
+
+  # in production begin_samples creates the shard dir before get_latents
+  os.makedirs(get_dir_name(config, str(tmp_path), 0), exist_ok=True)
+  f1, _ = get_latents(config, imgs, ext16, 0, 0, str(tmp_path))
+  assert f1.shape[1] == 16
+  # same fingerprint -> cache hit (garbage input proves it wasn't rerun)
+  f2, _ = get_latents(config, np.zeros_like(imgs), ext16, 0, 0,
+                      str(tmp_path))
+  np.testing.assert_array_equal(f1, f2)
+  # different fingerprint -> recomputed under the new extractor
+  f3, _ = get_latents(config, imgs, ext8, 0, 0, str(tmp_path))
+  assert f3.shape[1] == 8
+  # legacy cache (no fingerprint key) is trusted as-is
+  stat = os.path.join(get_dir_name(config, str(tmp_path), 0),
+                      "statistics_1.npz")
+  np.savez_compressed(stat, pool_3=np.ones((4, 3), np.float32))
+  f4, p4 = get_latents(config, imgs, ext16, 0, 1, str(tmp_path))
+  assert f4.shape == (4, 3) and p4 is None
+
+
+def test_real_stats_cache_invalidates_on_extractor_change(tmp_path):
+  """compute_dataset_stats' mu/cov cache is fingerprint-keyed too."""
+  from soft_truncation_tpu.eval.evaluation import compute_dataset_stats
+  from soft_truncation_tpu.eval.inception import DummyFeatureExtractor
+
+  config = _pipeline_config()
+
+  class _DS:
+    def as_numpy_iterator(self):
+      rng = np.random.RandomState(1)
+      while True:
+        yield {"image": rng.rand(8, 8, 8, 3).astype(np.float32)}
+
+  cache = str(tmp_path / "real_stats.npz")
+  ext16 = DummyFeatureExtractor(feature_dim=16)
+  mu1, _ = compute_dataset_stats(config, _DS(), ext16, 16, cache_path=cache)
+  assert mu1.shape == (16,)
+  # same extractor: cache hit
+  mu2, _ = compute_dataset_stats(config, _DS(), ext16, 16, cache_path=cache)
+  np.testing.assert_array_equal(np.asarray(mu1), np.asarray(mu2))
+  # different weights: recomputed at the new feature dim
+  mu3, _ = compute_dataset_stats(config, _DS(),
+                                 DummyFeatureExtractor(feature_dim=8), 16,
+                                 cache_path=cache)
+  assert mu3.shape == (8,)
+
+
 def test_double_buffer_persists_inflight_shard_on_error():
   """Double-buffering dispatches shard r+1 before shard r's host work; if
   featurize/IO for shard r raises, shard r+1's completed device work must

@@ -25,8 +25,20 @@ step() {
 
 echo "=========== r4 phase 3 start $(date -u) ==========="
 
-if ! step probe 420 python tools/tpu_probe.py --timeout 300; then
-  echo "!!! TPU probe failed — aborting (tunnel wedged?)"
+# the tunnel has been observed to degrade for tens of minutes and then
+# recover: retry the (serialized, bounded) probe up to 6 times with
+# 10-min gaps before giving up on the session.
+ok=
+for attempt in 1 2 3 4 5 6; do
+  if step "probe (attempt $attempt)" 720 python tools/tpu_probe.py --timeout 600; then
+    ok=1
+    break
+  fi
+  echo "... probe attempt $attempt failed; sleeping 600s before retry"
+  sleep 600
+done
+if [ -z "$ok" ]; then
+  echo "!!! TPU probe failed 6x over ~70 min — aborting (tunnel wedged)"
   exit 2
 fi
 

@@ -107,6 +107,11 @@ def main():
   # ("reference-exact" mode) measures ~1255 imgs/s on a v5e chip.
   config.tpu.compute_dtype = "bfloat16"
   config.tpu.norm_dtype = "bfloat16"
+  # Keep the config's rng record in sync with the live impl: dropout_bits
+  # defaults to 'auto' and resolves against jax_default_prng_impl at model
+  # build (32 under rbg — packed masks only pay under threefry; see
+  # configs/base.py and benchmarks/train_sweep.jsonl rbg pair).
+  config.tpu.rng_impl = "unsafe_rbg"
   jax.config.update("jax_default_prng_impl", "unsafe_rbg")
 
   sde = get_sde(config)

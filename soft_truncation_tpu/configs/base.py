@@ -52,7 +52,15 @@ _CIFAR10 = dict(
         # absolute tol is unreachable on VE chains whose early states
         # have magnitude sigma_max ~ 50 — round-3 measured pathology),
         # and sweep cap (0 = window length, the exactness bound)
-        picard_window=16, picard_tol=1e-3, picard_max_sweeps=0),
+        # picard_tol > 0 is only a trajectory-error bound on DETERMINISTIC
+        # chains (probability-flow predictor, no corrector noise; or the
+        # DPM chain). On a stochastic PC chain the per-position residual
+        # criterion passes while the endpoint decorrelates (measured rms
+        # 63 vs sequential — ROOFLINE.md 'Parallel-in-time'), so
+        # get_picard_pc_sampler refuses tol>0 there unless
+        # picard_unsafe_tol=True opts in for experimentation.
+        picard_window=16, picard_tol=1e-3, picard_max_sweeps=0,
+        picard_unsafe_tol=False),
     eval=dict(
         begin_ckpt=9, end_ckpt=26, batch_size=200, enable_sampling=False,
         num_samples=50000, enable_loss=True, enable_bpd=False,
@@ -156,12 +164,18 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # exact nn.Dropout parity; 16/8 pack 2/4 mask lanes per threefry
       # word — same determinism and sharding invariance as 32, keep-rate
       # quantized to 1/2^bits (at 8: rate 0.1 -> 26/256 ~ 0.1016).
-      # DEFAULT 8: measured same-session on a v5e (flagship, batch 128,
-      # threefry) 1,877 imgs/s vs 1,551 at bits=32 (+21%) — recovers 73%
-      # of the reproducible-PRNG tax (unsafe_rbg ceiling 1,996); the
-      # step returns to HBM-bound (hbm_frac 0.96 vs 0.66). Set 32 for
-      # masks bit-identical to flax.linen.Dropout.
-      dropout_bits=8,
+      # DEFAULT 0 = auto (int sentinel — ml_collections type-locks the
+      # field, and tools/tests override with ints): resolve per the
+      # ACTIVE PRNG impl at model build
+      # (models/ncsnpp.py from_config) — 8 under threefry, where packing
+      # recovers the per-element hash tax (same-session v5e pair: 1,877
+      # imgs/s vs 1,551 at bits=32, +21%); 32 under rbg/unsafe_rbg, where
+      # there is no hash tax to recover and the bit-unpack only ADDS HBM
+      # traffic (same-session v5e pair in benchmarks/train_sweep.jsonl;
+      # an unconditional 8 regressed the rbg bench 2,001->1,910 imgs/s,
+      # +4.3 GB/step, BENCH_r04). Set 32 for masks bit-identical to
+      # flax.linen.Dropout regardless of impl.
+      dropout_bits=0,
       # 'bfloat16' runs GroupNorm statistics in bf16 too. Measured on a
       # v5e: +9% TRAIN step time (keep f32 for training), but -9% PC
       # sampling / -5% DPM sampling per eval (forward-only pays no

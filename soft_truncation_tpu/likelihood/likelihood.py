@@ -55,9 +55,19 @@ def get_div_fn(fn: Callable[[Array, Array], Array]):
 def get_likelihood_fn(config, sde: SDE, inverse_scaler,
                       hutchinson_type: str = "Rademacher",
                       rtol: float = 1e-5, atol: float = 1e-5,
-                      method: str = "dopri5") -> Callable:
+                      method: str = "dopri5",
+                      shared_primal: bool = True) -> Callable:
   """Returns likelihood_fn(model, params, data, key, logdet=0., eps=1e-5,
-  mode='correct') -> (bpd [B], z latent, nfe)."""
+  mode='correct') -> (bpd [B], z latent, nfe).
+
+  shared_primal=True (default) evaluates the network ONCE per RK stage:
+  ``jax.jvp`` returns the primal (the drift) alongside the Hutchinson
+  tangent, so each ODE-function evaluation costs ~2 forwards instead of
+  3 (standalone drift + jvp's internal primal — the two produce the same
+  HLO values but XLA does not CSE across the separate network
+  applications; measured pair in benchmarks/likelihood.jsonl). False
+  keeps the two-pass form for A/B.
+  """
   del method  # always the on-device dopri5
 
   def drift_fn(model, params, x, t):
@@ -82,9 +92,14 @@ def get_likelihood_fn(config, sde: SDE, inverse_scaler,
     def ode_func(t, flat):
       x = flat[:n_flat].reshape(shape)
       vec_t = jnp.full((b,), t)
-      drift = drift_fn(model, params, x, vec_t).reshape(-1)
-      logp_grad = div_fn(x, vec_t, epsilon)
-      return jnp.concatenate([drift, logp_grad])
+      if shared_primal:
+        drift, jvp_val = jax.jvp(
+            lambda xx: drift_fn(model, params, xx, vec_t), (x,), (epsilon,))
+        logp_grad = jnp.sum((jvp_val * epsilon).reshape(b, -1), axis=-1)
+      else:
+        drift = drift_fn(model, params, x, vec_t)
+        logp_grad = div_fn(x, vec_t, epsilon)
+      return jnp.concatenate([drift.reshape(-1), logp_grad])
 
     if mode == "correct":
       z0 = jax.random.normal(k_pert, shape)
@@ -144,16 +159,18 @@ def get_elbo_fn(config, sde: SDE, inverse_scaler=None,
     def mu_fn(x):
       score = score_fn(x, time)
       f, g = sde.sde(x, time)
-      return (batch_mul(std ** 2, score)
-              - batch_mul(std ** 2 / g ** 2, f))
-
-    score = score_fn(perturbed, time)
-    a = batch_mul(std, score)
+      mu = (batch_mul(std ** 2, score)
+            - batch_mul(std ** 2 / g ** 2, f))
+      return mu, score
 
     epsilon = _hutchinson_noise(k_h, batch.shape, hutchinson_type)
     # eps^T dmu/dx eps via jvp (reference: autograd.grad(mu, x, eps),
-    # likelihood.py:190-192)
-    _, jvp_val = jax.jvp(mu_fn, (perturbed,), (epsilon,))
+    # likelihood.py:190-192). has_aux returns the primal-pass score so the
+    # Nu term below reuses the SAME network evaluation instead of a second
+    # standalone apply (XLA does not CSE across applications).
+    _, jvp_val, score = jax.jvp(mu_fn, (perturbed,), (epsilon,),
+                                has_aux=True)
+    a = batch_mul(std, score)
     Mu = -jnp.sum((jvp_val * epsilon).reshape(b, -1), axis=-1) * Z / qt
     Nu = -jnp.sum((a ** 2).reshape(b, -1), axis=-1) * Z / 2.0 / qt
 

@@ -305,8 +305,18 @@ class NCSNpp(nn.Module):
         tpu_cfg is not None
         and tpu_cfg.get("norm_dtype", "float32") == "bfloat16"
     ) else jnp.float32
-    dropout_bits = int(tpu_cfg.get("dropout_bits", 32)
-                       if tpu_cfg is not None else 32)
+    raw_bits = (tpu_cfg.get("dropout_bits", 32)
+                if tpu_cfg is not None else 32)
+    if raw_bits in (0, "auto"):  # 0 = auto (configs/base.py)
+      # Packed masks (bits=8) only pay off where the PRNG hashes
+      # per-element (threefry); under rbg/unsafe_rbg the unpack adds HBM
+      # traffic for nothing (measured pairs: configs/base.py, the
+      # dropout_bits comment). Resolve against the LIVE impl — run_lib /
+      # bench tools set jax_default_prng_impl before building the model.
+      impl = str(jax.config.jax_default_prng_impl)
+      dropout_bits = 8 if "threefry" in impl else 32
+    else:
+      dropout_bits = int(raw_bits)
     return cls(
         dtype=dtype,
         remat=remat,

@@ -38,6 +38,21 @@ sequential NFE) or meaningless near t=T. `tol = 0` forces the exact
 fixed point (tested against the sequential samplers with the same PRNG
 key in tests/test_picard_parallel.py).
 
+STOCHASTIC chains require tol = 0. The sweep-to-sweep change equals the
+fixed-point residual of the previous iterate, so tol bounds the
+per-position residual — but it is NOT a trajectory-error bound: on a
+noise-dominated PC chain a ~tol-relative residual injected at every one
+of N positions random-walks the endpoint completely off the sequential
+trajectory (measured on-chip: tol=1e-3 windows "converge" in ~2 sweeps
+while the final sample sits at rms 63 vs the sequential run's — two
+independent draws at that state scale; benchmarks/ROOFLINE.md
+"Parallel-in-time"). Deterministic chains (probability-flow predictor
+with no corrector noise, or the DPM chain) contract to their unique
+trajectory, so tol > 0 keeps its usual meaning there.
+`get_picard_pc_sampler` therefore REFUSES tol > 0 on a stochastic chain
+unless `unsafe_tol=True` (config: `sampling.picard_unsafe_tol`) is
+passed explicitly for experimentation.
+
 Floating-point caveat: "exact" means exact in exact arithmetic. In f32
 the prefix-sum evaluates the same chain in a different summation order,
 so the residual is ulp-level noise amplified by the chain's conditioning
@@ -163,7 +178,8 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
                           continuous: bool = False, denoise: bool = True,
                           eps: float = 1e-3, window: int = 16,
                           tol: float = 1e-3,
-                          max_sweeps: int = 0) -> Callable:
+                          max_sweeps: int = 0,
+                          unsafe_tol: bool = False) -> Callable:
   """Drop-in PC sampler (same flags as get_pc_sampler) with parallel-in-
   time Picard iteration. Returns sampler(model, params, key) ->
   (samples in [0,1], nfe) where nfe is the MEASURED number of network
@@ -179,6 +195,24 @@ def get_picard_pc_sampler(config, sde: SDE, shape, predictor: str,
   only change the iteration path, not the fixed point); the chunked
   sampler jits its segments internally — do NOT wrap it in an outer jit
   (tagged ``self_jitting=True``)."""
+  # tol > 0 early exit is only sound on chains whose fixed point is a
+  # contracting deterministic trajectory. On a stochastic chain the
+  # criterion passes while the trajectory decorrelates (module
+  # docstring; measured rms 63 ~= two independent draws) — refuse
+  # loudly instead of returning wrong samples.
+  stochastic = ((not probability_flow)            # predictor noise (lambda=1)
+                or predictor == "ancestral_sampling"  # noise regardless
+                or (corrector != "none" and n_steps > 0))  # Langevin noise
+  if stochastic and tol > 0 and not unsafe_tol:
+    raise ValueError(
+        "picard: tol > 0 on a stochastic chain (probability_flow="
+        f"{probability_flow}, predictor={predictor!r}, corrector="
+        f"{corrector!r}) silently produces decorrelated samples — the "
+        "sweep-to-sweep criterion bounds the per-position residual, not "
+        "the trajectory error (benchmarks/ROOFLINE.md 'Parallel-in-"
+        "time'). Set sampling.picard_tol=0 (exact fixed point, "
+        "max_sweeps=window telescoping) or opt in explicitly with "
+        "sampling.picard_unsafe_tol=True.")
   predictor_fn = get_predictor(predictor)
   corrector_fn = get_corrector(corrector)
   N = sde.N

@@ -232,6 +232,7 @@ def get_sampling_fn(config, sde: SDE, shape, inverse_scaler,
           window=config.sampling.get("picard_window", 64),
           tol=config.sampling.get("picard_tol", 1e-2),
           max_sweeps=config.sampling.get("picard_max_sweeps", 0),
+          unsafe_tol=config.sampling.get("picard_unsafe_tol", False),
           **kwargs)
     return get_pc_sampler(config, sde, shape, **kwargs)
   raise ValueError(f"Sampler name {config.sampling.method} unknown.")

@@ -460,7 +460,16 @@ class ReverseSDE:
   lambda_: float = 1.0
 
   def __post_init__(self):
-    assert self.probability_flow == (self.lambda_ == 0.0)
+    # probability_flow=True needs lambda_=0 (an ODE has no diffusion term).
+    # The converse combination (probability_flow=False, lambda_=0) is
+    # ACCEPTED: drift weight 0.5*(1+0^2)=0.5 and diffusion 0*g are exactly
+    # the probability-flow ODE (sde_lib.py:89-119 — both branches coincide),
+    # and configs may legitimately request it (eval.lambda_=0 without
+    # flipping eval.probability_flow).
+    if self.probability_flow:
+      assert self.lambda_ == 0.0, (
+          "probability_flow=True requires lambda_=0 "
+          f"(got lambda_={self.lambda_})")
 
   @property
   def weight(self) -> float:

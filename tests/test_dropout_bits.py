@@ -130,6 +130,19 @@ def test_ncsnpp_dropout_bits_plumbing():
 
   m32, m8 = build(32), build(8)
   assert m32.dropout_bits == 32 and m8.dropout_bits == 8
+
+  # 0 = auto (the shipped default) resolves against the LIVE prng impl:
+  # 8 under threefry (packing recovers the per-element hash tax), 32
+  # under rbg/unsafe_rbg (no tax to recover; unpack only adds HBM
+  # traffic — the BENCH_r04 regression this rule fixes).
+  default_impl = str(jax.config.jax_default_prng_impl)
+  try:
+    jax.config.update("jax_default_prng_impl", "threefry2x32")
+    assert build(0).dropout_bits == 8
+    jax.config.update("jax_default_prng_impl", "rbg")
+    assert build(0).dropout_bits == 32
+  finally:
+    jax.config.update("jax_default_prng_impl", default_impl)
   x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
   t = jnp.full((2,), 1.0)
   params = m32.init({"params": jax.random.PRNGKey(1)}, x, t,

@@ -181,8 +181,11 @@ def test_nfe_accounting_and_tol_monotonicity():
 
   nfes, devs = {}, {}
   for tol in (0.0, 1e-3, 5e-2):
+    # tol>0 on this stochastic chain (predictor noise) needs the explicit
+    # experimentation opt-in — this test exists to MEASURE that regime.
     cfg = _config(num_scales=16, corrector="none",
-                  picard_window=8, picard_tol=tol)
+                  picard_window=8, picard_tol=tol,
+                  picard_unsafe_tol=True)
     cfg.sampling.method = "picard"
     got, nfe = _run(cfg)
     nfes[tol] = nfe
@@ -197,12 +200,12 @@ def test_nfe_accounting_and_tol_monotonicity():
 
 @pytest.mark.parametrize("corrector", ["none", "langevin"])
 def test_quality_at_shipped_default_tol(corrector):
-  """The SHIPPED defaults (configs/base.py picard_window / picard_tol,
-  read from the config rather than hardcoded) must keep Picard samples
-  near the sequential trajectory — the round-3 pathology was defaults
-  (absolute tol, window 64) that produced diverged samples. The relative
-  tol=1e-3 default means 'converged when the remaining change per sweep
-  is 0.1% of the state's own scale'."""
+  """The SHIPPED default tol (configs/base.py picard_tol, read from the
+  config rather than hardcoded) on a STOCHASTIC chain now refuses loudly
+  (the round-4 verdict: the residual criterion passes while trajectories
+  decorrelate at scale) — and with the explicit unsafe opt-in the small-
+  chain quality regression check still holds (the round-3 pathology was
+  defaults — absolute tol, window 64 — that produced diverged samples)."""
   seq = _config(corrector=corrector, num_scales=16)
   want, _ = _run(seq)
   scale = float(np.sqrt(np.mean(want ** 2))) or 1.0
@@ -210,14 +213,30 @@ def test_quality_at_shipped_default_tol(corrector):
   cfg = _config(corrector=corrector, num_scales=16)
   cfg.sampling.method = "picard"  # defaults: window/tol from base config
   assert cfg.sampling.picard_tol > 0  # shipped default is NOT exact mode
+  with pytest.raises(ValueError, match="stochastic chain"):
+    _run(cfg)  # the guard: no silent decorrelated samples
+
+  cfg.sampling.picard_unsafe_tol = True
   got, nfe = _run(cfg)
   rel = float(np.sqrt(np.mean((got - want) ** 2))) / scale
   assert rel < 1e-2, rel
   assert nfe > 0
 
 
+def test_tol_allowed_on_deterministic_chain():
+  """Probability-flow predictor + no corrector is a deterministic chain:
+  tol > 0 keeps its contraction-criterion meaning and needs NO opt-in."""
+  cfg = _config(predictor="reverse_diffusion", corrector="none",
+                probability_flow=True, num_scales=8,
+                picard_window=4, picard_tol=1e-3)
+  cfg.sampling.method = "picard"
+  got, nfe = _run(cfg)
+  assert got.shape == SHAPE and np.isfinite(got).all() and nfe > 0
+
+
 def test_shapes_finite_and_in_range():
-  cfg = _config(picard_window=4, picard_tol=1e-3)
+  cfg = _config(picard_window=4, picard_tol=1e-3,
+                picard_unsafe_tol=True)  # stochastic chain: explicit opt-in
   cfg.sampling.method = "picard"
   got, nfe = _run(cfg)
   assert got.shape == SHAPE and np.isfinite(got).all() and nfe > 0

@@ -95,6 +95,28 @@ def test_likelihood_correct_mode_close_to_wrong():
   assert abs(float(jnp.mean(bpd_c)) - float(jnp.mean(bpd_w))) < 0.15
 
 
+def test_likelihood_shared_primal_matches_two_pass():
+  """shared_primal=True (one jax.jvp per RK stage, primal reused as the
+  drift) computes the SAME estimator as the two-pass form (standalone
+  drift + separate jvp) — same key, bpd must agree to f32 reassociation
+  tolerance. The fast path exists because XLA does not CSE the duplicated
+  network application (~2x forward vs ~3x; benchmarks/likelihood.jsonl)."""
+  config = vp_config()
+  sde = get_sde(config)
+  model = AnalyticVPModel(sde)
+  inverse_scaler = lambda x: (x + 1.0) / 2.0
+  data = jax.random.normal(jax.random.PRNGKey(0), (4, 4, 4, 1))
+  key = jax.random.PRNGKey(1)
+  fast = get_likelihood_fn(config, sde, inverse_scaler, shared_primal=True)
+  slow = get_likelihood_fn(config, sde, inverse_scaler, shared_primal=False)
+  bpd_f, z_f, _ = fast(model, {}, data, key, mode="correct", eps=1e-4)
+  bpd_s, z_s, _ = slow(model, {}, data, key, mode="correct", eps=1e-4)
+  np.testing.assert_allclose(np.asarray(bpd_f), np.asarray(bpd_s),
+                             rtol=1e-4, atol=1e-5)
+  np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_s),
+                             rtol=1e-4, atol=1e-5)
+
+
 def test_elbo_upper_bounds_nll():
   config = vp_config()
   sde = get_sde(config)

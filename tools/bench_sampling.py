@@ -257,6 +257,10 @@ def run_one_picard(batch: int, window: int = 0, tol: float = 1e-3) -> dict:
   pcfg.sampling.method = "picard"
   pcfg.sampling.picard_window = window
   pcfg.sampling.picard_tol = tol
+  # Explicit experimentation opt-in: tol>0 on the stochastic PC chain is
+  # refused by default (decorrelated samples — parallel.py guard); this
+  # tool exists precisely to MEASURE that regime, rms-vs-seq included.
+  pcfg.sampling.picard_unsafe_tol = True
   pcfg.sampling.chunk = 100  # bounded dispatches, like the sequential side
   _, _, _, psampler = _setup(pcfg, batch, build_state=False)
   compile_s, dt, nfe, psamples = _time_sampler(psampler, model, params,

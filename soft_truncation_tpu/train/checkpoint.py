@@ -23,6 +23,23 @@ from .state import TrainState
 log = logging.getLogger(__name__)
 
 
+def _is_primary() -> bool:
+  return jax.process_index() == 0
+
+
+def _sync(name: str) -> None:
+  """Cross-process barrier (no-op single-process).
+
+  Orbax coordinates the array WRITES itself, but the surrounding
+  directory lifecycle here (rmtree the previous tmp, atomic rename into
+  place) is ours — under jax.distributed only the primary process may
+  mutate the shared filesystem, and every other process must not race
+  past it (tests/test_multihost.py save->restore->resume)."""
+  if jax.process_count() > 1:
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
 def _host_template(template: TrainState) -> TrainState:
   """Numpy copy of the state pytree, so Orbax restores to HOST memory.
 
@@ -57,13 +74,17 @@ class CheckpointManager:
 
   def save_meta(self, state: TrainState) -> None:
     tmp = self.meta_path + ".tmp"
-    if os.path.exists(tmp):
+    if _is_primary() and os.path.exists(tmp):
       shutil.rmtree(tmp)
+    _sync("save_meta_pre")
     self._ckptr.save(tmp, state)
     self._ckptr.wait_until_finished()
-    if os.path.exists(self.meta_path):
-      shutil.rmtree(self.meta_path)
-    os.rename(tmp, self.meta_path)
+    _sync("save_meta_written")
+    if _is_primary():
+      if os.path.exists(self.meta_path):
+        shutil.rmtree(self.meta_path)
+      os.rename(tmp, self.meta_path)
+    _sync("save_meta_renamed")
 
   def restore_meta(self, template: TrainState) -> Optional[TrainState]:
     """Restore the rolling checkpoint if present; else None."""
@@ -81,10 +102,12 @@ class CheckpointManager:
 
   def save_snapshot(self, state: TrainState, save_step: int) -> None:
     path = self.snapshot_path(save_step)
-    if os.path.exists(path):
+    if _is_primary() and os.path.exists(path):
       shutil.rmtree(path)
+    _sync("save_snapshot_pre")
     self._ckptr.save(path, state)
     self._ckptr.wait_until_finished()
+    _sync("save_snapshot_written")
 
   def restore_snapshot(self, template: TrainState,
                        save_step: int) -> TrainState:

@@ -19,8 +19,8 @@ def _free_port() -> int:
   return port
 
 
-def test_two_host_data_sharding_and_global_step(tmp_path):
-  # bounded by communicate(timeout=420) below
+def _run_pair(tmp_path, phase: str, expect: str):
+  """Spawn a 2-process jax.distributed CPU cluster running one phase."""
   worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
   coord = f"localhost:{_free_port()}"
   env = dict(os.environ)
@@ -31,7 +31,8 @@ def test_two_host_data_sharding_and_global_step(tmp_path):
 
   procs = [
       subprocess.Popen(
-          [sys.executable, worker, coord, "2", str(i), str(tmp_path)],
+          [sys.executable, worker, coord, "2", str(i), str(tmp_path),
+           phase],
           env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
           text=True)
       for i in range(2)
@@ -39,7 +40,13 @@ def test_two_host_data_sharding_and_global_step(tmp_path):
   outs = [p.communicate(timeout=420)[0] for p in procs]
   for i, (p, out) in enumerate(zip(procs, outs)):
     assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
-    assert "global step ok" in out, out[-2000:]
+    assert expect in out, out[-2000:]
+  return outs
+
+
+def test_two_host_data_sharding_and_global_step(tmp_path):
+  # bounded by communicate(timeout=420) in _run_pair
+  _run_pair(tmp_path, "data", "global step ok")
 
   fp = []
   for i in range(2):
@@ -48,3 +55,13 @@ def test_two_host_data_sharding_and_global_step(tmp_path):
   assert fp[0] and fp[1]
   # per-host ds.shard must give disjoint data slices
   assert not (fp[0] & fp[1]), f"{len(fp[0] & fp[1])} shared images"
+
+
+def test_two_host_checkpoint_save_restore_resume(tmp_path):
+  """The reference's one fault-tolerance feature — preemption checkpoints
+  (utils.py:13-36, run_lib.py:82-83) — proven under jax.distributed:
+  a 2-process cluster saves the rolling Orbax checkpoint, the cluster is
+  torn down, a FRESH 2-process cluster restores it and keeps stepping."""
+  _run_pair(tmp_path, "ckpt_save", "ckpt save ok")
+  assert (tmp_path / "workdir" / "checkpoints-meta" / "checkpoint").exists()
+  _run_pair(tmp_path, "ckpt_resume", "ckpt resume ok")

@@ -119,6 +119,41 @@ def test_train_step_1_vs_2d_mesh_64px():
   assert _max_param_diff(params1, params2d) < 1e-5
 
 
+def test_train_step_1_vs_2d_mesh_256px_uncsnpp():
+  """High-res spatial-sharding certification (SURVEY section 2.3 SP row):
+  a 256² UNCSN++ step (fir resampling, progressive_input='residual',
+  reciprocal-VE SDE — the uncsnpp_st knob set, ve/CIFAR10/uncsnpp_st.py
+  scaled to toy width) over the 2-D (data=4, space=2) mesh. With 128
+  image rows per space shard, every FIR up/downfirdn, 3x3 conv, and the
+  32²-resolution attention block crosses the shard boundary through four
+  resolution levels, so this pins GSPMD halo exchange + gather logic at
+  the resolution the reference's CelebA-HQ/FFHQ-class configs actually
+  run (reference torch DataParallel has no spatial analogue; this is the
+  TPU-native extension). Losses must be finite and match 1 device."""
+  config = _tiny_train_config()
+  override(config, {
+      "training": dict(sde="reciprocal_vesde", st=True, batch_size=4,
+                       model_mode="reciprocal", eta=0.001,
+                       importance_sampling=False,
+                       likelihood_weighting=False),
+      "optim": dict(num_micro_batch=1),
+      "data": dict(image_size=256, centered=False),
+      "model": dict(
+          scale_by_sigma=True, fir=True, fir_kernel=[1, 3, 3, 1],
+          ch_mult=(1, 1, 2, 2), num_res_blocks=1,
+          attn_resolutions=(32,), progressive_input="residual",
+          sigma_min=0.001),
+  })
+  params1, losses1 = _run_train_step(config, make_mesh(
+      devices=jax.devices()[:1]))
+  assert np.all(np.isfinite(losses1))
+  params2d, losses2d = _run_train_step(
+      config, make_mesh(mesh_shape=(4, 2)), spatial=True)
+
+  np.testing.assert_allclose(losses1, losses2d, rtol=1e-5, atol=1e-6)
+  assert _max_param_diff(params1, params2d) < 1e-5
+
+
 def _tiny_sample_config(method):
   config = default_config("cifar10")
   override(config, {

@@ -181,6 +181,17 @@ def default_config(dataset: str = "cifar10") -> ml_collections.ConfigDict:
       # sampling / -5% DPM sampling per eval (forward-only pays no
       # backward penalty) — worth enabling for sampling-only workloads.
       norm_dtype="float32",
+      # activation-byte diet (ops/quant.py): 'float8_e4m3' stores every
+      # conv INPUT activation in HBM as e4m3 (1 byte/elt; the cast fuses
+      # into the producer, the consumer conv upconverts in-kernel) and
+      # runs backward cotangents through an e5m2 round-trip; weights,
+      # norms, and optimizer state stay f32. The train step is
+      # HBM-bandwidth-bound at ~95% of the v5e roofline, so this is the
+      # one lever that moves the single-chip ceiling itself. Measured
+      # keep/revert record in benchmarks/ROOFLINE.md; trajectory-drift +
+      # param-tree-compat tests in tests/test_fp8_quant.py. '' = off
+      # (reference f32 semantics).
+      activation_dtype="",
       # FID featurization resize: 'host' = cleanfid PIL bicubic, bit
       # parity with the reference; 'device' = jax cubic inside the jitted
       # extractor (same Keys bicubic for upscaling, measured max 4.7e-4

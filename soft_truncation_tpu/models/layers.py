@@ -72,13 +72,35 @@ def _uniform_bias_like_torch_conv(fan_in: int, scale: float = 1.0):
 def DDPMConv(features: int, kernel_size: int = 3, stride: int = 1,
              init_scale: float = 1.0, use_bias: bool = True,
              padding: Any = "SAME", dtype: Dtype = jnp.float32,
-             name: str | None = None) -> nn.Conv:
+             act_quant: Optional[str] = None,
+             name: str | None = None) -> nn.Module:
   """kxk conv with DDPM init: variance-scaled kernel, zero bias.
 
   Parity: reference models/layers.py:100-124 (ddpm_conv1x1 / ddpm_conv3x3).
   A factory (not a wrapper module) so params sit directly under ``name`` —
   matching the reference checkpoint layout for the torch porter.
+
+  ``act_quant='float8_e4m3'`` (config.tpu.activation_dtype) swaps in
+  ops.quant.QConv: same param tree, but the input activation is stored in
+  HBM as e4m3 and cotangents take an e5m2 round-trip (byte-diet for the
+  HBM-bound train step — ops/quant.py).
   """
+  if act_quant:
+    from ..ops.quant import SUPPORTED, QConv
+    if act_quant not in SUPPORTED:
+      raise NotImplementedError(
+          f"tpu.activation_dtype={act_quant!r}; supported: {SUPPORTED}")
+    return QConv(
+        features,
+        (kernel_size, kernel_size),
+        strides=(stride, stride),
+        padding=padding,
+        use_bias=use_bias,
+        kernel_init=default_init(init_scale),
+        bias_init=nn.initializers.zeros,
+        dtype=dtype,
+        name=name,
+    )
   return nn.Conv(
       features,
       (kernel_size, kernel_size),

@@ -133,10 +133,12 @@ class Combine(nn.Module):
   method: str = "cat"
   dtype: Dtype = jnp.float32
   norm_dtype: Dtype = jnp.float32
+  act_quant: Optional[str] = None
 
   @nn.compact
   def __call__(self, x: Array, y: Array) -> Array:
-    h = DDPMConv(y.shape[-1], 1, dtype=self.dtype, name="conv")(x)
+    h = DDPMConv(y.shape[-1], 1, dtype=self.dtype,
+                 act_quant=self.act_quant, name="conv")(x)
     if self.method == "cat":
       return jnp.concatenate([h, y], axis=-1)
     if self.method == "sum":
@@ -214,6 +216,7 @@ class Upsample(nn.Module):
   fir_kernel: Sequence[float] = (1, 3, 3, 1)
   dtype: Dtype = jnp.float32
   norm_dtype: Dtype = jnp.float32
+  act_quant: Optional[str] = None
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -222,7 +225,8 @@ class Upsample(nn.Module):
     if not self.fir:
       x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
       if self.with_conv:
-        x = DDPMConv(out_ch, 3, dtype=self.dtype, name="conv")(x)
+        x = DDPMConv(out_ch, 3, dtype=self.dtype,
+                     act_quant=self.act_quant, name="conv")(x)
     else:
       if not self.with_conv:
         x = upsample_2d(x, k=tuple(self.fir_kernel), factor=2)
@@ -242,6 +246,7 @@ class Downsample(nn.Module):
   fir_kernel: Sequence[float] = (1, 3, 3, 1)
   dtype: Dtype = jnp.float32
   norm_dtype: Dtype = jnp.float32
+  act_quant: Optional[str] = None
 
   @nn.compact
   def __call__(self, x: Array) -> Array:
@@ -250,7 +255,8 @@ class Downsample(nn.Module):
     if not self.fir:
       if self.with_conv:
         x = DDPMConv(out_ch, 3, stride=2, padding=((0, 1), (0, 1)),
-                     dtype=self.dtype, name="conv")(x)
+                     dtype=self.dtype, act_quant=self.act_quant,
+                     name="conv")(x)
       else:
         x = nn.avg_pool(x, (2, 2), strides=(2, 2))
     else:
@@ -275,6 +281,7 @@ class ResnetBlockDDPMpp(nn.Module):
   init_scale: float = 0.0
   dtype: Dtype = jnp.float32
   norm_dtype: Dtype = jnp.float32
+  act_quant: Optional[str] = None
 
   @nn.compact
   def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -286,7 +293,8 @@ class ResnetBlockDDPMpp(nn.Module):
     else:
       h = self.act(nn.GroupNorm(num_groups=_groups(in_ch), epsilon=1e-6,
                                 dtype=self.norm_dtype, name="norm0")(x))
-      h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="conv0")(h))
+      h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype,
+                             act_quant=self.act_quant, name="conv0")(h))
     if temb is not None:
       h = h + nn.Dense(out_ch, kernel_init=default_init(),
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
@@ -300,10 +308,12 @@ class ResnetBlockDDPMpp(nn.Module):
       h = Dropout(self.dropout, deterministic=not train,
                   bits=self.dropout_bits)(h)
       h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
-                               dtype=self.dtype, name="conv1")(h))
+                               dtype=self.dtype,
+                               act_quant=self.act_quant, name="conv1")(h))
     if in_ch != out_ch:
       if self.conv_shortcut:
-        x = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="shortcut")(x))
+        x = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype,
+                               act_quant=self.act_quant, name="shortcut")(x))
       else:
         x = NIN(out_ch, dtype=self.dtype, name="shortcut")(x)
     if self.skip_rescale:
@@ -327,6 +337,7 @@ class ResnetBlockBigGANpp(nn.Module):
   init_scale: float = 0.0
   dtype: Dtype = jnp.float32
   norm_dtype: Dtype = jnp.float32
+  act_quant: Optional[str] = None
 
   @nn.compact
   def __call__(self, x: Array, temb: Optional[Array] = None,
@@ -358,7 +369,8 @@ class ResnetBlockBigGANpp(nn.Module):
         x = naive_downsample_2d(x, factor=2)
 
     if not fuse0:
-      h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype, name="conv0")(h))
+      h = _conv_out(DDPMConv(out_ch, 3, dtype=self.dtype,
+                             act_quant=self.act_quant, name="conv0")(h))
     if temb is not None:
       h = h + nn.Dense(out_ch, kernel_init=default_init(),
                        bias_init=nn.initializers.zeros, dtype=self.dtype,
@@ -374,10 +386,12 @@ class ResnetBlockBigGANpp(nn.Module):
       h = Dropout(self.dropout, deterministic=not train,
                   bits=self.dropout_bits)(h)
       h = _conv_out(DDPMConv(out_ch, 3, init_scale=self.init_scale,
-                               dtype=self.dtype, name="conv1")(h))
+                               dtype=self.dtype,
+                               act_quant=self.act_quant, name="conv1")(h))
 
     if in_ch != out_ch or self.up or self.down:
-      x = _conv_out(DDPMConv(out_ch, 1, dtype=self.dtype, name="shortcut")(x))
+      x = _conv_out(DDPMConv(out_ch, 1, dtype=self.dtype,
+                             act_quant=self.act_quant, name="shortcut")(x))
 
     if self.skip_rescale:
       return (x + h) / math.sqrt(2.0)

@@ -87,6 +87,11 @@ class NCSNpp(nn.Module):
   # GroupNorm compute dtype: f32 by default (scale/bias params are f32 so
   # flax promotes); bf16 trades ~0 quality margin for ~9%% step time
   norm_dtype: Any = jnp.float32
+  # activation-byte diet (ops/quant.py): 'float8_e4m3' stores conv input
+  # activations in HBM as e4m3 (1 byte/elt) with e5m2 backward cotangent
+  # round-trips — the step is HBM-bound (ROOFLINE.md), so this attacks
+  # the dominant byte term directly. None = off (reference f32 semantics).
+  act_quant: Optional[str] = None
 
   @nn.compact
   def __call__(self, x: Array, time_cond: Array, train: bool = False) -> Array:
@@ -110,7 +115,8 @@ class NCSNpp(nn.Module):
                           dropout_bits=self.dropout_bits,
                           init_scale=self.init_scale,
                           skip_rescale=self.skip_rescale, dtype=self.dtype,
-                          norm_dtype=self.norm_dtype)
+                          norm_dtype=self.norm_dtype,
+                          act_quant=self.act_quant)
         if self.resblock_type == "ddpm" else
         functools.partial(block_cls, act=act,
                           dropout=self.dropout,
@@ -118,7 +124,8 @@ class NCSNpp(nn.Module):
                           fir_kernel=self.fir_kernel,
                           init_scale=self.init_scale,
                           skip_rescale=self.skip_rescale, dtype=self.dtype,
-                          norm_dtype=self.norm_dtype))
+                          norm_dtype=self.norm_dtype,
+                          act_quant=self.act_quant))
     AttnBlock = functools.partial(layerspp.AttnBlockpp,
                                   init_scale=self.init_scale,
                                   skip_rescale=self.skip_rescale,
@@ -158,7 +165,8 @@ class NCSNpp(nn.Module):
     input_pyramid = x if self.progressive_input != "none" else None
     if self.fourier_feature:
       x = layerspp.FixedFourierProjection(name="fixed_fourier")(x)
-    h = DDPMConv(self.nf, 3, dtype=self.dtype, name="stem")(x)
+    h = DDPMConv(self.nf, 3, dtype=self.dtype, act_quant=self.act_quant,
+                 name="stem")(x)
     hs = [h]
 
     # ---- down path (models/ncsnpp.py:312-347) ---------------------------
@@ -231,9 +239,11 @@ class NCSNpp(nn.Module):
           if self.progressive == "output_skip":
             pyramid = DDPMConv(self.num_channels, 3,
                                init_scale=self.init_scale, dtype=self.dtype,
+                               act_quant=self.act_quant,
                                name=f"pyr_conv_{i_level}")(act(gn(h)))
           else:  # residual
             pyramid = DDPMConv(h.shape[-1], 3, dtype=self.dtype,
+                               act_quant=self.act_quant,
                                name=f"pyr_conv_{i_level}")(act(gn(h)))
         else:
           if self.progressive == "output_skip":
@@ -245,6 +255,7 @@ class NCSNpp(nn.Module):
             pyramid_h = DDPMConv(self.num_channels, 3,
                                  init_scale=self.init_scale,
                                  dtype=self.dtype,
+                                 act_quant=self.act_quant,
                                  name=f"pyr_conv_{i_level}")(act(gn(h)))
             pyramid = pyramid + pyramid_h
           else:  # residual
@@ -277,7 +288,8 @@ class NCSNpp(nn.Module):
       h = act(nn.GroupNorm(num_groups=min(h.shape[-1] // 4, 32),
                            epsilon=1e-6, name="out_norm")(h))
       h = DDPMConv(self.num_channels, 3, init_scale=self.init_scale,
-                   dtype=self.dtype, name="out_conv")(h)
+                   dtype=self.dtype, act_quant=self.act_quant,
+                   name="out_conv")(h)
 
     if self.scale_by_sigma:
       h = h / used_sigmas.reshape((x.shape[0],) + (1,) * (h.ndim - 1))
@@ -305,6 +317,8 @@ class NCSNpp(nn.Module):
         tpu_cfg is not None
         and tpu_cfg.get("norm_dtype", "float32") == "bfloat16"
     ) else jnp.float32
+    act_quant = (tpu_cfg.get("activation_dtype", "") or None
+                 if tpu_cfg is not None else None)
     raw_bits = (tpu_cfg.get("dropout_bits", 32)
                 if tpu_cfg is not None else 32)
     if raw_bits in (0, "auto"):  # 0 = auto (configs/base.py)
@@ -322,6 +336,7 @@ class NCSNpp(nn.Module):
         remat=remat,
         remat_policy=remat_policy,
         norm_dtype=norm_dtype,
+        act_quant=act_quant,
         dropout_bits=dropout_bits,
         nf=m.nf,
         ch_mult=tuple(m.ch_mult),

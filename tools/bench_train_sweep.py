@@ -33,7 +33,7 @@ V5E_PEAK_HBM = 819e9
 
 def run_one(batch: int, remat: str, fir: bool, config_name: str,
             state_dtype: str = "f32", rng: str = "unsafe_rbg",
-            dropout_bits: int = 32) -> dict:
+            dropout_bits: int = 32, act: str = "") -> dict:
   if fir:
     os.environ["SOFT_TRUNCATION_PALLAS_FIR"] = "1"
   from soft_truncation_tpu.losses import get_optimizer
@@ -73,6 +73,10 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str,
   # dropout_bits=16/8 packs mask lanes (models/dropout.py) to attack the
   # measured ~25% threefry dropout tax
   config.tpu.dropout_bits = dropout_bits
+  # act=float8_e4m3: conv-input activations stored in HBM as e4m3 with
+  # e5m2 cotangent round-trips (ops/quant.py) — the fp8 byte-diet arm
+  if act:
+    config.tpu.activation_dtype = act
   jax.config.update("jax_default_prng_impl", rng)
   if rng == "threefry2x32":
     jax.config.update("jax_threefry_partitionable", True)
@@ -116,6 +120,7 @@ def run_one(batch: int, remat: str, fir: bool, config_name: str,
       "config": config_name, "batch": batch, "remat": remat,
       "state_dtype": state_dtype, "rng_impl": rng,
       "dropout_bits": dropout_bits,
+      "activation_dtype": act or "bfloat16",
       "pallas_fir": fir,
       "step_ms": round(step_s * 1000, 2),
       "imgs_per_sec": round(batch * iters / dt, 1),
@@ -137,7 +142,8 @@ def main():
                 kv.get("fir", "0") == "1", kv.get("config", "flagship"),
                 kv.get("state_dtype", "f32"),
                 kv.get("rng", "unsafe_rbg"),
-                int(kv.get("dropout_bits", 32)))
+                int(kv.get("dropout_bits", 32)),
+                kv.get("act", ""))
   out = os.path.join(os.path.dirname(os.path.dirname(
       os.path.abspath(__file__))), "benchmarks", "train_sweep.jsonl")
   os.makedirs(os.path.dirname(out), exist_ok=True)

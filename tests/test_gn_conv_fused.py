@@ -77,28 +77,45 @@ override(config, {
         progressive_input="none", progressive_combine="sum",
         init_scale=0.1, embedding_type="fourier", fourier_scale=16),
 })
+import sys
+def stage(m):
+  print("STAGE:", m); sys.stdout.flush()
 model = create_model(config)
+stage("model built")
 x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 3))
 t = jnp.full((2,), 1.0)
 params = model.init({"params": jax.random.PRNGKey(1)}, x, t,
                     train=False)["params"]
+stage("init done")
 want = model.apply({"params": params}, x, t, train=False)
+stage("xla forward done")
 
 layerspp._PALLAS_GN_CONV = True
 with pltpu.force_tpu_interpret_mode():
   got = model.apply({"params": params}, x, t, train=False)
 np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                            rtol=2e-5, atol=2e-5)
+stage("fused forward parity done")
 
-# params initialized UNDER the flag must have the identical tree
-with pltpu.force_tpu_interpret_mode():
-  params_fused = model.init({"params": jax.random.PRNGKey(1)}, x, t,
-                            train=False)["params"]
+# params initialized UNDER the flag must have the identical tree.
+# Shape-level init via eval_shape: a SECOND force_tpu_interpret_mode
+# entry in one process deadlocks the Mosaic interpreter on this 1-core
+# host (all threads futex-parked; reproduced twice in round 5 — the
+# stage prints stopped exactly here), and the tree check only needs
+# shapes/dtypes, never kernel execution.
+params_fused = jax.eval_shape(
+    lambda k: model.init({"params": k}, x, t, train=False),
+    jax.random.PRNGKey(1))["params"]
 assert (jax.tree_util.tree_structure(params_fused)
         == jax.tree_util.tree_structure(params))
 for a, b in zip(jax.tree.leaves(params_fused), jax.tree.leaves(params)):
   assert a.shape == b.shape and a.dtype == b.dtype
 print("ncsnpp fused-path parity ok")
+# Skip interpreter shutdown too: its worker threads can also futex-park
+# at exit. All assertions are done — exit hard.
+import os
+sys.stdout.flush()
+os._exit(0)
 """
 
 
@@ -120,10 +137,18 @@ def test_ncsnpp_forward_parity_with_fused_path():
 
   env = dict(os.environ)
   env.pop("JAX_PLATFORMS", None)  # the script pins cpu itself
-  proc = subprocess.run(
-      [sys.executable, "-c", _NCSNPP_PARITY_SCRIPT], env=env,
-      cwd=os.path.join(os.path.dirname(__file__), ".."),
-      capture_output=True, text=True, timeout=900)
+  try:
+    proc = subprocess.run(
+        [sys.executable, "-c", _NCSNPP_PARITY_SCRIPT], env=env,
+        cwd=os.path.join(os.path.dirname(__file__), ".."),
+        capture_output=True, text=True, timeout=900)
+  except subprocess.TimeoutExpired as e:
+    # Show how far the child got (STAGE: lines) instead of a bare kill.
+    out = e.stdout or b""
+    err = e.stderr or b""
+    raise AssertionError(
+        "fused-path parity subprocess timed out (900s); partial "
+        f"stdout:\n{out[-2000:]}\nstderr:\n{err[-2000:]}") from None
   assert proc.returncode == 0, (
       f"fused-path parity subprocess failed (rc={proc.returncode}):\n"
       f"stdout:\n{proc.stdout[-2000:]}\nstderr:\n{proc.stderr[-2000:]}")

@@ -80,7 +80,9 @@ def test_picard_sampler_batch_sharded_over_mesh():
   config = _tiny_config()
   config.sampling.method = "picard"
   config.sampling.picard_window = 2
-  config.sampling.picard_tol = 1e-3
+  # tol=0: the exact fixed-point mode — tol>0 on this stochastic PC
+  # chain is refused by the round-5 guard (sample/parallel.py).
+  config.sampling.picard_tol = 0.0
   sde = get_sde(config)
   model = create_model(config)
   shape = (16, 8, 8, 3)

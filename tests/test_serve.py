@@ -97,6 +97,9 @@ def test_export_roundtrip_matches_direct(method):
 def test_chunked_picard_rejected():
   # chunk < num_scales so the chunked (self-jitting) path is actually taken
   config = _config(method="picard", chunk=2)
+  # exact mode so the stochastic-chain tol guard doesn't fire first —
+  # this test pins the chunked-picard (self-jitting) serving rejection
+  config.sampling.picard_tol = 0.0
   config.sampling.predictor = "reverse_diffusion"
   config.sampling.corrector = "none"
   config.sampling.snr = 0.16

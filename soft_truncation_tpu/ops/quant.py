@@ -22,12 +22,16 @@ Design (what is and is not quantized):
   * Weights stay in the compute dtype (bf16/f32). Their traffic is
     amortized over the batch (~2% of step bytes at 62M params / b128)
     and 3-mantissa-bit weights are a needless precision loss.
-  * Cotangents take an e5m2 round-trip (5 exponent bits — gradients
-    need range, not mantissa). This is byte-NEUTRAL here (the upstream
-    kernel already materialized the bf16 cotangent; the cast fuses into
-    the grad-conv operand reads), but it makes the prototype's numerics
-    representative of a full fp8 pipeline on hardware with native fp8
-    support, which is what the drift tests validate.
+  * The data-gradient conv's cotangent takes an e5m2 round-trip
+    (5 exponent bits — gradients need range, not mantissa): XLA folds
+    the converts into the conv operands, so the dx conv reads the
+    cotangent at 1 byte/elt. The weight-gradient conv keeps the raw
+    compute-dtype cotangent — its other operand is the e4m3 residual
+    and the v5e compiler rejects f8e4m3 x f8e5m2 convolutions; the
+    bf16 slab it reads was materialized by the upstream kernel anyway
+    (byte-neutral). The e5m2 leg still makes the dx numerics
+    representative of a native-fp8 pipeline, which the drift tests
+    validate.
   * No loss scaling: activations sit O(1) after GroupNorm/SiLU and
     e4m3's normal range is [2^-6, 448]; weights and cotangents keep
     >=8-bit mantissas end to end. Sub-2^-9 values flush to zero — the
@@ -84,17 +88,37 @@ def _fp8_conv_fwd(x, w, strides, padding, compute_dtype):
   return y, (x8, w)
 
 
+def _conv_uniform(x: Array, w: Array, strides, padding) -> Array:
+  """Conv whose output element type equals its operand type (no
+  preferred_element_type): the conv TRANSPOSE rule requires lhs/rhs
+  dtypes to match, and transposing the f32-accumulate+downcast form of
+  ``_conv`` under bfloat16 compute feeds the f32 cotangent (from the
+  convert's transpose) into a conv against the bf16 kernel — TypeError
+  at lowering. Element-type-uniform convs are exactly what flax bf16
+  training lowers to anyway; the MXU still accumulates in f32."""
+  dn = lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+  return lax.conv_general_dilated(x, w, strides, padding,
+                                  dimension_numbers=dn)
+
+
 def _fp8_conv_bwd(strides, padding, compute_dtype, res, g):
   x8, w = res
-  # e5m2 round-trip on the cotangent (see module docstring).
+  # e5m2 round-trip on the data-gradient cotangent (module docstring):
+  # XLA folds the converts into the conv operands, so the dx conv reads
+  # the cotangent at 1 byte/elt (f8e5m2 x bf16 kernel). The dw conv
+  # must NOT use it: its other operand is the e4m3 activation residual,
+  # and the v5e compiler rejects f8e4m3 x f8e5m2 convolutions
+  # ("Unsupported conversion between element types of operands"). dw
+  # consumes the raw compute-dtype cotangent instead — byte-neutral,
+  # since the upstream kernel materialized that bf16 slab anyway.
   gu = g.astype(E5M2).astype(compute_dtype)
   xu = x8.astype(compute_dtype)
   (dx,) = jax.linear_transpose(
-      lambda xx: _conv(xx, w, strides, padding, compute_dtype),
+      lambda xx: _conv_uniform(xx, w, strides, padding),
       jax.ShapeDtypeStruct(xu.shape, compute_dtype))(gu)
   (dw,) = jax.linear_transpose(
-      lambda ww: _conv(xu, ww, strides, padding, compute_dtype),
-      jax.ShapeDtypeStruct(w.shape, compute_dtype))(gu)
+      lambda ww: _conv_uniform(xu, ww, strides, padding),
+      jax.ShapeDtypeStruct(w.shape, compute_dtype))(g.astype(compute_dtype))
   return dx, dw
 
 

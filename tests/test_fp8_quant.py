@@ -78,6 +78,27 @@ def test_fp8_conv_gradients_flow_and_are_close():
     assert float(jnp.max(jnp.abs(q))) > 0.0
 
 
+def test_fp8_conv_grad_lowers_under_bfloat16_compute():
+  """Regression: with compute_dtype=bfloat16 (the TPU bench config) the
+  backward's linear_transpose used to crash at lowering — transposing
+  the f32-accumulate+downcast conv feeds an f32 cotangent into a conv
+  against the bf16 kernel ('requires arguments to have the same
+  dtypes'). CPU f32 tests missed it because the cast chain is a no-op
+  there."""
+  kx, kw = jax.random.split(jax.random.PRNGKey(3))
+  x = _x(kx, (2, 8, 8, 4)).astype(jnp.bfloat16)
+  w = (_x(kw, (3, 3, 4, 6)) * 0.1).astype(jnp.bfloat16)
+
+  def f(x, w):
+    return jnp.sum(
+        fp8_conv(x, w, (1, 1), "SAME", jnp.bfloat16).astype(jnp.float32))
+
+  dx, dw = jax.jit(jax.grad(f, argnums=(0, 1)))(x, w)
+  assert dx.dtype == jnp.bfloat16 and dw.dtype == jnp.bfloat16
+  assert float(jnp.max(jnp.abs(dx.astype(jnp.float32)))) > 0.0
+  assert float(jnp.max(jnp.abs(dw.astype(jnp.float32)))) > 0.0
+
+
 @pytest.mark.parametrize("stride,padding", [
     (1, "SAME"),
     (2, ((0, 1), (0, 1))),  # the Downsample conv's exact form

@@ -26,11 +26,7 @@ if ! step probe 420 python tools/tpu_probe.py --timeout 300; then
   exit 2
 fi
 
-# 1. exact-NLL cost A/B (VERDICT r4 #3): shared-primal x norm dtype,
-#    four arms in ONE process (same-session rule)
-step "nll shared-primal x norm-dtype A/B" 4500 python tools/bench_likelihood.py 64
-
-# 2. fp8 activation byte-diet A/B (VERDICT r4 #2): baseline vs
+# 1. fp8 activation byte-diet A/B (VERDICT r4 #2): baseline vs
 #    act=float8_e4m3, both arms in ONE process, pair-tagged
 step "fp8 train A/B same-process" 4500 python - <<'EOF'
 import importlib.util, json, os, sys
@@ -49,6 +45,10 @@ with open("benchmarks/train_sweep.jsonl", "a") as f:
         r["pair"] = "r5_fp8_act_ab_same_process"
         f.write(json.dumps(r) + "\n")
 EOF
+
+# 2. exact-NLL cost A/B (VERDICT r4 #3): shared-primal x norm dtype,
+#    four arms in ONE process (same-session rule)
+step "nll shared-primal x norm-dtype A/B" 4500 python tools/bench_likelihood.py 64
 
 # 3. fresh headline bench (VERDICT r4 #1 done-check: >=1990 imgs/s with
 #    bytes back at ~50.2 GB under the dropout_bits auto default)
